@@ -1,0 +1,177 @@
+"""Perspective warp and fused 81-cell extraction.
+
+Parity target: cv2.getPerspectiveTransform + cv2.warpPerspective
+(INTER_LINEAR, constant 0 border) as used by the reference to rectify the
+detected grid to 450x450 (reference cv/grid.py:94, cv/grid_v2.py:511).
+OpenCV 5's warp is float bilinear at unquantized inverse-mapped coordinates
+rounded half-to-even — bit-exact reproducible (tests/test_ops_parity.py)
+when the inverse homography is computed in float64.
+
+Two paths:
+  * warp_perspective: the parity path (full 450x450 rectified image).
+  * warp_extract_cells: the TPU fast path — composes the per-cell resize
+    sampling grid with the homography so the (81, 28, 28) CNN input is one
+    fused gather from the raw frame, no 450x450 intermediate. This is the
+    batched replacement for the reference's warp -> per-cell crop -> resize
+    chain (reference cv/extract.py:13).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from sudoku_vision_tpu.ops.resize import _axis_plan
+
+
+def homography_from_corners(
+    corners: jnp.ndarray, out_hw: tuple[int, int]
+) -> jnp.ndarray:
+    """DLT solve mapping 4 ordered corners (tl,tr,br,bl) -> output rect.
+
+    Returns the 3x3 matrix H with dst ~ H @ src (cv2.getPerspectiveTransform
+    convention). corners: (..., 4, 2) float (x, y). Batched over leading
+    dims. Solve runs in float32 on device; for bit-parity with OpenCV use
+    homography_np (float64 host math).
+    """
+    h, w = out_hw
+    dst = jnp.asarray(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]],
+        dtype=jnp.float32,
+    )
+    src = corners.astype(jnp.float32)
+    dst = jnp.broadcast_to(dst, src.shape)
+    x, y = src[..., 0], src[..., 1]
+    u, v = dst[..., 0], dst[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
+    rows_v = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
+    a = jnp.concatenate([rows_u, rows_v], axis=-2)  # (..., 8, 8)
+    b = jnp.concatenate([u, v], axis=-1)[..., None]  # (..., 8, 1)
+    sol = jnp.linalg.solve(a, b)[..., 0]
+    ones = jnp.ones(sol.shape[:-1] + (1,), sol.dtype)
+    return jnp.concatenate([sol, ones], axis=-1).reshape(
+        sol.shape[:-1] + (3, 3))
+
+
+def homography_np(corners: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Float64 host-side homography (cv2.getPerspectiveTransform parity)."""
+    h, w = out_hw
+    dst = np.array(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+    src = np.asarray(corners, dtype=np.float64).reshape(4, 2)
+    a = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        a[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        a[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i], b[2 * i + 1] = u, v
+    sol = np.linalg.solve(a, b)
+    return np.append(sol, 1.0).reshape(3, 3)
+
+
+def bilinear_sample_u8(
+    img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample uint8 (H, W) at float coords; constant-0 border; cv2 rounding.
+
+    xs/ys may be any (equal) shape; returns uint8 of that shape.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    flat = img.reshape(img.shape[:-2] + (-1,)).astype(jnp.float32)
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0).astype(jnp.float32)
+    fy = (ys - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    acc = jnp.zeros(jnp.broadcast_shapes(xs.shape, ys.shape), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xx = x0i + dx
+            yy = y0i + dy
+            inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+            idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            pix = jnp.where(inb, jnp.take(flat, idx, axis=-1), 0.0)
+            wgt = (fy if dy else 1.0 - fy) * (fx if dx else 1.0 - fx)
+            acc = acc + pix * wgt
+    return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
+
+
+def _project(m_inv: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
+    """Apply inverse homography to dst pixel coords -> src coords."""
+    den = m_inv[2, 0] * xs + m_inv[2, 1] * ys + m_inv[2, 2]
+    sx = (m_inv[0, 0] * xs + m_inv[0, 1] * ys + m_inv[0, 2]) / den
+    sy = (m_inv[1, 0] * xs + m_inv[1, 1] * ys + m_inv[1, 2]) / den
+    return sx, sy
+
+
+def warp_perspective(
+    img: jnp.ndarray,
+    m: jnp.ndarray,
+    out_hw: tuple[int, int],
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """cv2.warpPerspective(INTER_LINEAR, BORDER_CONSTANT 0) for uint8 (H, W).
+
+    m maps src->dst (cv2 convention) unless inverse=True (m already
+    dst->src). For bit-exactness pass an inverse computed in float64
+    (np.linalg.inv on host) with inverse=True; the in-graph f32 inversion
+    is within +/-1 intensity of cv2 on a handful of pixels.
+    """
+    oh, ow = out_hw
+    m = jnp.asarray(m, jnp.float32)
+    m_inv = m if inverse else jnp.linalg.inv(m)
+    ys, xs = jnp.mgrid[0:oh, 0:ow]
+    sx, sy = _project(m_inv, xs.astype(jnp.float32), ys.astype(jnp.float32))
+    return bilinear_sample_u8(img, sx, sy)
+
+
+@lru_cache(maxsize=None)
+def _cell_sample_positions(
+    warp_size: int, cell_out: int, margin_frac: float
+) -> np.ndarray:
+    """Warped-space sample positions for all 81 cells, one axis.
+
+    Per cell: crop [c*cs + margin, (c+1)*cs - margin) then the cv2 resize
+    half-pixel sampling grid to cell_out px. Returns (9, cell_out) float32
+    positions in warped coordinates.
+    """
+    cs = warp_size // 9
+    margin = int(cs * margin_frac)
+    crop = cs - 2 * margin
+    i0, i1, w0, w1 = _axis_plan(crop, cell_out)
+    # Effective float position = i0 + w1/2048 (w1 is the frac weight).
+    pos = i0.astype(np.float64) + w1.astype(np.float64) / 2048.0
+    base = np.arange(9, dtype=np.float64)[:, None] * cs + margin
+    return (base + pos[None, :]).astype(np.float32)
+
+
+def warp_extract_cells(
+    img: jnp.ndarray,
+    m_inv: jnp.ndarray,
+    warp_size: int = 450,
+    cell_out: int = 28,
+    margin_frac: float = 0.10,
+) -> jnp.ndarray:
+    """Fused rectify + 81-cell crop + resize: (H, W) u8 -> (81, co, co) u8.
+
+    m_inv maps warped-space -> source-frame coords (inverse homography).
+    Composes the reference's three stages (warp_perspective 450x450 ->
+    per-cell 10%-margin crop -> 28x28 resize, reference cv/extract.py:13)
+    into a single gather of 81*cell_out^2 samples from the raw frame.
+    """
+    pos = jnp.asarray(_cell_sample_positions(warp_size, cell_out, margin_frac))
+    # (9, co) x positions and y positions -> full (81, co, co) grid.
+    wy = pos[:, None, :, None]  # (9, 1, co, 1)
+    wx = pos[None, :, None, :]  # (1, 9, 1, co)
+    wyf = jnp.broadcast_to(wy, (9, 9, cell_out, cell_out))
+    wxf = jnp.broadcast_to(wx, (9, 9, cell_out, cell_out))
+    sx, sy = _project(jnp.asarray(m_inv, jnp.float32), wxf, wyf)
+    cells = bilinear_sample_u8(img, sx, sy)
+    return cells.reshape(81, cell_out, cell_out)
