@@ -1,0 +1,82 @@
+"""The fused perception graph: decoded frame -> 81 digit logits.
+
+This is the TPU-native replacement for the reference's CV+ML stages
+(reference pipeline/run.py:244 run_pipeline: preprocess -> detect ->
+warp -> extract -> 81 single-sample CNN calls): everything between the
+uint8 frame in HBM and the (81, 10) logit tensor is ONE jit graph — no
+host round-trips, no per-cell Python loop. Batched variants vmap the
+whole graph over a frame axis.
+
+Outputs are fixed-shape; detection failure is a boolean in the result,
+never an exception (XLA-friendly control flow).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sudoku_vision_tpu import ops
+from sudoku_vision_tpu.cv.extract import (
+    cells_empty_mask,
+    extract_cells,
+    preprocess_cells_for_model,
+)
+from sudoku_vision_tpu.cv.grid import GridDetection, detect_grid
+from sudoku_vision_tpu.cv.preprocess import preprocess_for_grid_detection
+
+
+class PerceptionOutput(NamedTuple):
+    logits: jnp.ndarray        # (81, 10) float32
+    probs: jnp.ndarray         # (81, 10) float32 softmax
+    digits: jnp.ndarray        # (81,) int32 argmax with empty override
+    confidence: jnp.ndarray    # (81,) float32 max prob (1.0 for empty cells)
+    empty_mask: jnp.ndarray    # (81,) bool
+    corners: jnp.ndarray       # (4, 2) float32
+    grid_found: jnp.ndarray    # () bool
+    cells: jnp.ndarray         # (81, 28, 28) uint8 raw cell crops
+
+
+def perceive(
+    img: jnp.ndarray,
+    model,
+    variables,
+    warp_size: int = 450,
+    cell_size: int = 28,
+    temperature=None,
+) -> PerceptionOutput:
+    """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
+    gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
+    binary = preprocess_for_grid_detection(gray)
+    det: GridDetection = detect_grid(binary)
+    m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
+    m_inv = jnp.linalg.inv(m)
+    cells = extract_cells(gray, m_inv, warp_size, cell_size)
+    empty = cells_empty_mask(cells)
+    x = preprocess_cells_for_model(cells)
+    logits = model.apply(variables, x, temperature=temperature) \
+        if _accepts_temperature(model) else model.apply(variables, x)
+    probs = jax.nn.softmax(logits, axis=-1)
+    raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    digits = jnp.where(empty, 0, raw_digits)
+    conf = jnp.where(empty, 1.0, probs.max(axis=-1))
+    return PerceptionOutput(
+        logits=logits, probs=probs, digits=digits, confidence=conf,
+        empty_mask=empty, corners=det.corners, grid_found=det.found,
+        cells=cells)
+
+
+def _accepts_temperature(model) -> bool:
+    import inspect
+
+    try:
+        return "temperature" in inspect.signature(model.__call__).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def perceive_batch(imgs: jnp.ndarray, model, variables, **kw):
+    """vmap of perceive over a leading frame axis (N, H, W[, 3])."""
+    return jax.vmap(lambda im: perceive(im, model, variables, **kw))(imgs)

@@ -1,0 +1,16 @@
+"""Persistent XLA compilation cache (first compile of the fused perception
+graph is expensive; cache it across processes)."""
+
+import os
+
+
+def enable(path: str | None = None) -> None:
+    import jax
+
+    cache = path or os.environ.get(
+        "SV_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
