@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/sec image -> classified 81-digit grid.
+
+Measures the fused perception graph (grayscale -> detect -> warp ->
+extract -> CNN -> digits) in steady state over a batch of real golden
+frames on one chip, against the BASELINE.json north star of 500 fps.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from sudoku_vision_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BASELINE_FPS = 500.0
+
+
+def main() -> int:
+    import glob
+
+    from sudoku_vision_tpu.ml import checkpoint as ckpt
+    from sudoku_vision_tpu.models import DigitCNNv3
+    from sudoku_vision_tpu.pipeline.graph import perceive
+    from sudoku_vision_tpu.utils.imageio import load_bgr
+
+    batch = int(float((sys.argv[1:] or [8])[0]))
+    paths = sorted(glob.glob("/root/reference/data/test_images/sample_*.jpg"))
+    if not paths:
+        print(json.dumps({"metric": "fps", "value": 0,
+                          "unit": "fps", "vs_baseline": 0,
+                          "error": "no golden images"}))
+        return 1
+    frames = [load_bgr(p) for p in paths]
+    shape = frames[0].shape
+    frames = [f for f in frames if f.shape == shape]
+    reps = -(-batch // len(frames))
+    stack = np.stack((frames * reps)[:batch])
+
+    model = DigitCNNv3()
+    variables = ckpt.load_variables_or_none("digit_cnn_v3")
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 28, 28, 1), jnp.float32))
+
+    @jax.jit
+    def fn(imgs):
+        out = jax.vmap(lambda im: perceive(im, model, variables))(imgs)
+        return out.digits, out.confidence, out.corners, out.grid_found
+
+    dev_stack = jax.device_put(jnp.asarray(stack))
+    # Warmup / compile.
+    jax.block_until_ready(fn(dev_stack))
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < 5.0 or iters < 3:
+        jax.block_until_ready(fn(dev_stack))
+        iters += 1
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+    p50_ms = dt / iters / batch * 1e3
+
+    print(json.dumps({
+        "metric": "frames/sec image->classified 81-digit grid "
+                  "(batched fused graph, golden frames, 1 chip)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "batch": batch,
+        "per_frame_ms": round(p50_ms, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,34 +35,27 @@ def extract_cells(
 
 
 def cells_empty_mask(
-    cells: jnp.ndarray, ink_thresh: float = 0.02, border_frac: float = 0.15
+    cells: jnp.ndarray,
+    ink_thresh: float = 0.02,
+    border_frac: float = 0.15,
+    min_ink_depth: float = 45.0,
 ) -> jnp.ndarray:
-    """Otsu + ink-ratio empty-cell detection (reference cv/extract.py:59).
+    """Ink-ratio empty-cell detection (reference cv/extract.py:59 rule:
+    <2% ink pixels -> empty).
 
-    cells: (81, S, S) uint8. The interior (border cropped by border_frac)
-    is Otsu-binarized (dark ink -> 1); a cell is empty when the ink
-    fraction is below ink_thresh.
+    cells: (81, S, S) uint8. The reference Otsu-binarizes the interior; an
+    Otsu split misfires on faint show-through ghosts (thin paper), so ink
+    is defined contrast-relatively instead: pixels at least
+    `min_ink_depth` darker than the cell's median. Real print is dark;
+    ghosts and paper grain are not.
     """
     n, s, _ = cells.shape
     b = int(s * border_frac)
     inner = cells[:, b:s - b, b:s - b]
-    hists = histogram256_batched(inner).astype(jnp.float32)
-    bins = jnp.arange(256, dtype=jnp.float32)
-    total = hists.sum(axis=1, keepdims=True)
-    sum_all = (bins * hists).sum(axis=1, keepdims=True)
-    w_b = jnp.cumsum(hists, axis=1)
-    sum_b = jnp.cumsum(bins * hists, axis=1)
-    w_f = total - w_b
-    valid = (w_b > 0) & (w_f > 0)
-    mean_b = jnp.where(w_b > 0, sum_b / w_b, 0.0)
-    mean_f = jnp.where(w_f > 0, (sum_all - sum_b) / w_f, 0.0)
-    between = jnp.where(valid, w_b * w_f * (mean_b - mean_f) ** 2, -1.0)
-    t = jnp.argmax(between, axis=1).astype(jnp.int32)  # (81,)
-    ink = inner.astype(jnp.int32) <= t[:, None, None]  # dark pixels
+    med = jnp.median(inner.astype(jnp.float32).reshape(n, -1), axis=1)
+    ink = inner.astype(jnp.float32) < (med - min_ink_depth)[:, None, None]
     ink_ratio = ink.mean(axis=(1, 2), dtype=jnp.float32)
-    # Degenerate flat cells (otsu invalid) are empty.
-    flat = (between.max(axis=1) <= 0)
-    return jnp.logical_or(ink_ratio < ink_thresh, flat)
+    return ink_ratio < ink_thresh
 
 
 def preprocess_cells_for_model(cells: jnp.ndarray) -> jnp.ndarray:

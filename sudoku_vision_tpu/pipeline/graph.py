@@ -25,7 +25,6 @@ from sudoku_vision_tpu.cv.extract import (
     preprocess_cells_for_model,
 )
 from sudoku_vision_tpu.cv.grid import GridDetection, detect_grid
-from sudoku_vision_tpu.cv.preprocess import preprocess_for_grid_detection
 
 
 class PerceptionOutput(NamedTuple):
@@ -49,8 +48,7 @@ def perceive(
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
     gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
-    binary = preprocess_for_grid_detection(gray)
-    det: GridDetection = detect_grid(binary)
+    det: GridDetection = detect_grid(gray)
     m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
     m_inv = jnp.linalg.inv(m)
     cells = extract_cells(gray, m_inv, warp_size, cell_size)

@@ -8,7 +8,8 @@ why they live at conftest import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: the axon sitecustomize exports JAX_PLATFORMS=axon.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# Persistent XLA compile cache — jit compiles dominate test wall time on
+# this 1-core host; caching makes re-runs fast.
+from sudoku_vision_tpu.utils import jax_cache  # noqa: E402
+
+jax_cache.enable(os.path.join(_REPO, ".jax_cache_cpu"))

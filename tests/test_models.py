@@ -1,0 +1,94 @@
+"""Model family tests: shapes, param counts, dropout/BN behavior,
+temperature, MC-dropout (reference capability ml/model.py + ml/model_v3.py).
+Small batches on CPU — kept fast."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sudoku_vision_tpu.models import (
+    DigitCNN, DigitCNNv3, DigitCNNv3Light, EmptyClassifier, count_parameters,
+)
+from sudoku_vision_tpu.models.cnn import forward_with_uncertainty
+
+
+def init_and_apply(model, batch=2, **apply_kw):
+    x = jnp.zeros((batch, 28, 28, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return variables, model.apply(variables, x, **apply_kw)
+
+
+def test_digit_cnn_v1_shape_and_params():
+    model = DigitCNN()
+    variables, out = init_and_apply(model)
+    assert out.shape == (2, 10)
+    n = count_parameters(variables["params"])
+    assert 350_000 < n < 500_000  # reference v1 is ~420K
+
+
+def test_digit_cnn_v3_shape_and_params():
+    model = DigitCNNv3()
+    variables, out = init_and_apply(model)
+    assert out.shape == (2, 10)
+    n = count_parameters(variables["params"])
+    assert 150_000 < n < 400_000  # reference v3 is ~280K
+    assert "batch_stats" in variables
+
+
+def test_v3_light_smaller_than_v3():
+    light = DigitCNNv3Light()
+    v3 = DigitCNNv3()
+    vl, _ = init_and_apply(light)
+    v3v, _ = init_and_apply(v3)
+    assert count_parameters(vl["params"]) < count_parameters(v3v["params"])
+
+
+def test_empty_classifier_binary():
+    model = EmptyClassifier()
+    _, out = init_and_apply(model)
+    assert out.shape == (2, 2)
+
+
+def test_temperature_scaling_sharpens_or_flattens():
+    model = DigitCNNv3()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    hot = model.apply(variables, x, temperature=jnp.float32(0.5))
+    cold = model.apply(variables, x, temperature=jnp.float32(2.0))
+    base = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(hot), np.asarray(base) / 0.5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cold), np.asarray(base) / 2.0,
+                               rtol=1e-5)
+
+
+def test_dropout_only_active_in_train_mode():
+    model = DigitCNN()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    a = model.apply(variables, x)
+    b = model.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t1 = model.apply(variables, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    t2 = model.apply(variables, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_mc_dropout_uncertainty():
+    model = DigitCNNv3()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    mean, std = forward_with_uncertainty(
+        model, variables, x, jax.random.PRNGKey(5), n_samples=4)
+    assert mean.shape == (2, 10) and std.shape == (2, 10)
+    np.testing.assert_allclose(np.asarray(mean.sum(-1)), 1.0, atol=1e-5)
+    assert float(std.max()) > 0
+
+
+def test_bf16_compute_keeps_f32_logits():
+    model = DigitCNNv3(dtype=jnp.bfloat16)
+    _, out = init_and_apply(model)
+    assert out.dtype == jnp.float32
