@@ -28,10 +28,67 @@ def extract_cells(
     warp_size: int = 450,
     cell_size: int = 28,
     margin_frac: float = 0.10,
+    boundaries_y: jnp.ndarray | None = None,
+    boundaries_x: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(H, W) u8 + inverse homography -> (81, 28, 28) u8 cell images."""
     return ops.warp_extract_cells(
-        img_gray, m_inv, warp_size, cell_size, margin_frac)
+        img_gray, m_inv, warp_size, cell_size, margin_frac,
+        boundaries_y, boundaries_x)
+
+
+def refine_boundaries(
+    lat_h: jnp.ndarray,
+    lat_v: jnp.ndarray,
+    m_inv: jnp.ndarray,
+    ds: int,
+    warp_size: int = 450,
+    window: int = 16,
+    n_profile: int = 226,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Snap the 10 nominal grid-line positions to the detected lattice.
+
+    A single homography cannot model page curvature: interior grid lines
+    drift several px from their nominal warp positions, leaking grid-line
+    ink into cell crops. This samples the detection lattices (h/v line
+    families at detect scale, from cv.grid.detect_grid_full) on a coarse
+    grid in WARPED space, builds line-mass profiles per axis, and moves
+    each nominal boundary (0, 50, ..., 450) to the local mass centroid
+    within +-window px. Returns ((10,), (10,)) refined y and x boundary
+    positions in warped coordinates. Pure array math; runs inside the
+    fused graph.
+    """
+    step = warp_size / n_profile
+    coords = (jnp.arange(n_profile, dtype=jnp.float32) + 0.5) * step
+    gx = jnp.broadcast_to(coords[None, :], (n_profile, n_profile))
+    gy = jnp.broadcast_to(coords[:, None], (n_profile, n_profile))
+    m = jnp.asarray(m_inv, jnp.float32)
+    den = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
+    sx = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / den / ds
+    sy = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / den / ds
+
+    def sample(lat, xs, ys):
+        h, w = lat.shape
+        xi = jnp.clip(jnp.rint(xs).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.rint(ys).astype(jnp.int32), 0, h - 1)
+        inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        return jnp.where(inb, jnp.take(
+            lat.reshape(-1).astype(jnp.float32), yi * w + xi), 0.0)
+
+    prof_h = sample(lat_h, sx, sy).mean(axis=1)   # (n,) line mass per y
+    prof_v = sample(lat_v, sx, sy).mean(axis=0)   # (n,) line mass per x
+
+    nominal = jnp.arange(10, dtype=jnp.float32) * (warp_size / 9.0)
+
+    def snap(profile, nom):
+        # Weighted centroid of profile within +-window of each nominal.
+        d = jnp.abs(coords[None, :] - nom[:, None])      # (10, n)
+        w = jnp.where(d <= window, profile[None, :], 0.0)
+        mass = w.sum(axis=1)
+        cent = (w * coords[None, :]).sum(axis=1) / jnp.maximum(mass, 1e-6)
+        return jnp.where(mass > 0.5, cent, nom)
+
+    return snap(prof_h, nominal), snap(prof_v, nominal)
 
 
 def cells_empty_mask(

@@ -15,12 +15,14 @@ golden images vs the reference contour method's 4/5):
      (only straight runs >= L survive — specks, digits and text die),
      unshear, and take the max over the bank. Every step is a gather or a
      windowed min/max — pure VPU work, no sequential walks;
-  3. connected components on a max-pooled lattice via iterative label
-     max-propagation (fixed trip count, early-exit while_loop);
-  4. score components like the reference scores contours (pixel count,
-     bbox >= 10% frame, plausible aspect; interior preferred over
-     border-touching page edges) and pick the best;
-  5. corners = extreme points argmax(+-x +- y) of the winning component —
+  3. isolate the grid region by TWO-FAMILY line density: the grid is the
+     only structure with both horizontal- and vertical-family lines
+     everywhere, so min(density_h, density_v) peaks exactly on it; a
+     short flood fill from the density argmax drops detached
+     above-threshold specks (grid_region_from_lattice — replaces generic
+     connected components, whose sequential label propagation dominated
+     frame latency on this runtime);
+  4. corners = extreme points argmax(+-x +- y) of the grid region —
      the same tl/tr/br/bl rule as the reference's order_points — mapped
      back to full resolution.
 
@@ -63,6 +65,7 @@ def _window1d(x: jnp.ndarray, k: int, axis: int, op: str) -> jnp.ndarray:
     """1-D windowed min/max along axis (uint8/bool-as-int32 in, same out)."""
     pad_b, pad_a = k // 2, k - 1 - k // 2
     init, fn = (0, jax.lax.max) if op == "max" else (1, jax.lax.min)
+    init = x.dtype.type(init)
     dims = [1, 1]
     dims[axis] = k
     pads = [(0, 0), (0, 0)]
@@ -109,64 +112,115 @@ def line_lattice(
     orientation family — so the XLA graph stays small (compile time) and
     the VPU sees large fused loops (run time).
     """
-    h, w = binary.shape
-    b = (binary > 0).astype(jnp.int32)
-    tans = jnp.asarray(
-        [math.tan(math.radians(a)) for a in angles_deg], jnp.float32)
-    a_n = len(angles_deg)
+    lat_h, lat_v = line_lattice_hv(binary, length, angles_deg)
+    return jnp.maximum(lat_h, lat_v)
 
-    def family(thick: jnp.ndarray, transposed: bool) -> jnp.ndarray:
-        # Work in a frame where target lines are horizontal rows; for the
-        # vertical family we transpose so both share one code path.
-        img = thick.T if transposed else thick
-        hh, ww = img.shape
-        cols = jnp.arange(ww, dtype=jnp.float32) - ww // 2
-        # shift[a, x] = round(-tan_a * x) — vertical roll per column.
-        shift = jnp.round(-tans[:, None] * cols[None, :]).astype(
-            jnp.int32) % hh                                    # (A, W)
-        rows_i = jax.lax.broadcasted_iota(jnp.int32, (a_n, hh, ww), 1)
-        idx = (rows_i + shift[:, None, :]) % hh
-        big = jnp.broadcast_to(img[None], (a_n, hh, ww))
-        sheared = jnp.take_along_axis(big, idx, axis=1)
-        # 1-D opening along rows = windowed min then max along W... but
-        # rows are axis 2 only after flattening lines horizontally; here
-        # lines are horizontal -> open along axis 2.
-        opened = _window1d_batched(
-            _window1d_batched(sheared, length, "min"), length, "max")
-        idx_back = (rows_i - shift[:, None, :]) % hh
-        unsheared = jnp.take_along_axis(opened, idx_back, axis=1)
-        out = jnp.max(unsheared, axis=0)                       # (H, W)
-        return out.T if transposed else out
 
-    thick_h = _window1d(b, 3, 0, "max")  # thicken across h-lines
+def _translate2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Shift a 2-D map by a STATIC offset, filling vacated pixels.
+
+    Implemented as pad+slice — pure data movement, no gather. This is the
+    whole trick that makes the orientation bank fast on TPU: per-pixel
+    shear gathers cost ~50x more than static slices here.
+    """
+    h, w = x.shape
+    py = (max(dy, 0), max(-dy, 0))
+    px = (max(dx, 0), max(-dx, 0))
+    xp = jnp.pad(x, (py, px), constant_values=fill)
+    return xp[py[1]:py[1] + h, px[1]:px[1] + w]
+
+
+def _directional_open(b: jnp.ndarray, slope: float, length: int,
+                      vertical: bool) -> jnp.ndarray:
+    """Morphological opening along a digital line (van Herk doubling).
+
+    Erosion by a length-L segment at direction (1, slope) built from
+    log2(L) min-with-translated-self steps (offsets double each step),
+    then the mirrored dilation. Only straight runs >= `length` along the
+    direction survive. All ops are static-shift mins/maxes.
+    """
+    def off(k: int):
+        return ((int(round(k * slope)), k) if not vertical
+                else (k, int(round(k * slope))))
+
+    # Doubling shifts covering exactly [0, length): shift by
+    # min(covered, length - covered) each step.
+    shifts = []
+    covered = 1
+    while covered < length:
+        s = min(covered, length - covered)
+        shifts.append(s)
+        covered += s
+
+    # Erosion: e(p) = min over t in [0, length) of b(p + t*dir).
+    e = b
+    for k in shifts:
+        dy, dx = off(k)
+        e = jnp.minimum(e, _translate2d(e, -dy, -dx, 1))
+    # Opening = dilation by the reflected segment (anchor-free):
+    # o(p) = max over t in [0, length) of e(p - t*dir).
+    d = e
+    for k in shifts:
+        dy, dx = off(k)
+        d = jnp.maximum(d, _translate2d(d, dy, dx, 0))
+    return d
+
+
+def line_lattice_hv(
+    binary: jnp.ndarray,
+    length: int = 31,
+    angles_deg: Sequence[int] = tuple(range(-45, 46, 5)),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """line_lattice with the two orientation families kept separate:
+    (horizontal-ish lines, vertical-ish lines). The sudoku grid is the
+    only structure containing BOTH everywhere — page edges, book spines
+    and text rules are single-family."""
+    b = (binary > 0).astype(jnp.int8)
+    thick_h = _window1d(b, 3, 0, "max")
     thick_v = _window1d(b, 3, 1, "max")
-    return jnp.maximum(family(thick_h, False), family(thick_v, True))
+    lat_h = jnp.zeros_like(b)
+    lat_v = jnp.zeros_like(b)
+    for a in angles_deg:
+        s = math.tan(math.radians(a))
+        lat_h = jnp.maximum(
+            lat_h, _directional_open(thick_h, s, length, vertical=False))
+        lat_v = jnp.maximum(
+            lat_v, _directional_open(thick_v, s, length, vertical=True))
+    return lat_h.astype(jnp.int32), lat_v.astype(jnp.int32)
 
 
-def _coarse_labels(mask: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """Connected components on a small binary mask via label propagation."""
+def _coarse_labels(mask: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
+    """Connected components on a small binary mask, O(log diameter).
+
+    Hook + pointer-jump scheme (the classic GPU label-equivalence CC):
+    labels are seeded with each pixel's own linear id + 1, so a label
+    value IS a pixel address. One round = a 3x3 masked max-propagation
+    (true 8-connectivity — a wider window would bridge across empty
+    blocks) followed by two pointer jumps L[p] <- L[L[p]-1], which adopt
+    the label of the currently-referenced pixel and double the effective
+    propagation distance. Converges in ~log2(diameter) rounds instead of
+    O(diameter).
+
+    Statically UNROLLED (no lax.while_loop): on this runtime each loop
+    iteration carries a large fixed dispatch cost, so a fixed small unroll
+    of straight-line ops pipelines asynchronously and wins by an order of
+    magnitude over an early-exit loop. `iters` rounds of pool+2 jumps
+    reach components of diameter ~2^iters.
+    """
     h, w = mask.shape
     ids = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
-    labels0 = jnp.where(mask, ids, 0)
-
-    def propagate(lbl):
-        # 3x3 window = true 8-connectivity (a wider window would bridge
-        # across empty blocks and merge distinct components).
+    lbl = jnp.where(mask, ids, 0)
+    for _ in range(iters):
         p = jax.lax.reduce_window(
             lbl, 0, jax.lax.max, (3, 3), (1, 1), [(1, 1), (1, 1)])
-        return jnp.where(mask, p, 0)
-
-    def cond(state):
-        lbl, prev, i = state
-        return jnp.logical_and(i < iters, jnp.any(lbl != prev))
-
-    def body(state):
-        lbl, _, i = state
-        return propagate(lbl), lbl, i + 1
-
-    first = propagate(labels0)
-    labels, _, _ = jax.lax.while_loop(cond, body, (first, labels0, 1))
-    return labels
+        lbl = jnp.where(mask, p, 0)
+        flat = lbl.reshape(-1)
+        for _ in range(2):  # pointer jumps (label id -> that pixel's label)
+            flat = jnp.where(
+                flat > 0,
+                jnp.maximum(flat, flat[jnp.maximum(flat - 1, 0)]), 0)
+        lbl = flat.reshape(h, w)
+    return lbl
 
 
 def _extreme_corners(mask: jnp.ndarray) -> jnp.ndarray:
@@ -197,24 +251,93 @@ def order_corners(pts: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def _box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Separable windowed sum (float32), zero padding."""
+    pads = (k // 2, k - 1 - k // 2)
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, k), (1, 1),
+        [(0, 0), pads])
+    return jax.lax.reduce_window(
+        y, 0.0, jax.lax.add, (k, 1), (1, 1), [pads, (0, 0)])
+
+
+def grid_region_from_lattice(
+    lat_h: jnp.ndarray, lat_v: jnp.ndarray,
+    k: int = 61, rel_thresh: float = 0.35
+) -> jnp.ndarray:
+    """Isolate the sudoku-grid region WITHOUT connected components.
+
+    The grid is the only structure containing BOTH horizontal-family and
+    vertical-family long lines everywhere, so min(density_h, density_v)
+    over a box window is high exactly on the grid and ~zero on page
+    edges, book spines, folds and text rules (all single-family).
+    Threshold that joint density at rel_thresh * max, dilate back by the
+    window radius (the density peak is inset from the grid border by
+    ~k/2), and intersect with the full lattice. One shot, fully parallel
+    — no sequential label propagation (each iteration of an on-device
+    loop costs ~1.5 ms of dispatch on this runtime, so O(diameter) or
+    even O(log d) CC dominated the frame budget).
+    """
+    h, w = lat_h.shape
+    dens = jnp.minimum(_box_sum(lat_h > 0, k), _box_sum(lat_v > 0, k))
+    dmask = dens > rel_thresh * jnp.max(dens)
+
+    # The grid's blob contains the global density argmax; flood-fill from
+    # it on a 16x-coarsened mask (solid blob -> ~diameter/16 unrolled
+    # dilations) to drop detached above-threshold specks (e.g. a book
+    # spine crossing a fold also has both line families locally).
+    f = 16
+    ch, cw = -(-h // f), -(-w // f)
+    dpad = jnp.pad(dmask, ((0, ch * f - h), (0, cw * f - w)))
+    cmask = jax.lax.reduce_window(
+        dpad, False, jax.lax.bitwise_or, (f, f), (f, f), "VALID")
+    amax = jnp.argmax(dens)
+    sy = (amax // w) // f
+    sx = (amax % w) // f
+    seed = jnp.zeros((ch, cw), bool).at[sy, sx].set(True)
+    region = jnp.logical_and(seed, cmask)
+    for _ in range(40):
+        grown = jax.lax.reduce_window(
+            region, False, jax.lax.bitwise_or, (3, 3), (1, 1),
+            [(1, 1), (1, 1)])
+        region = jnp.logical_and(grown, cmask)
+    region_full = jnp.repeat(jnp.repeat(region, f, axis=0), f, axis=1)
+    region_full = jnp.logical_and(region_full[:h, :w], dmask)
+
+    # Dilate back by the density window radius (the peak is inset from
+    # the grid border by ~k/2) and keep only TRUE grid pixels: on a
+    # lattice line AND within a few px of BOTH line families (grid
+    # corners are exactly h-line/v-line meeting points; header text
+    # rules and page edges near the grid are single-family and drop).
+    kd = k // 2 + 12
+    region_full = jax.lax.reduce_window(
+        region_full, False, jax.lax.bitwise_or, (kd, kd), (1, 1),
+        [(kd // 2, kd - 1 - kd // 2)] * 2)
+    fine = jnp.logical_and(_box_sum(lat_h > 0, 11) > 0.5,
+                           _box_sum(lat_v > 0, 11) > 0.5)
+    comp = jnp.logical_and(
+        region_full,
+        jnp.logical_and(fine, jnp.logical_or(lat_h > 0, lat_v > 0)))
+    # Grid crossings come in a lattice — require neighborhood support so
+    # an isolated stray crossing can't steal an extreme point.
+    support = _box_sum(comp, k) > 60.0
+    return jnp.logical_and(comp, support)
+
+
 # ---------------------------------------------------------------------------
 # Main entry
 # ---------------------------------------------------------------------------
 
-def detect_grid(
+def detect_grid_full(
     gray: jnp.ndarray,
     detect_width: int = 950,
-    coarse: int = 304,
     min_area_frac: float = 0.10,
     line_length: int = 31,
-    cc_iters: int = 768,
-) -> GridDetection:
-    """Find the sudoku grid quad in a grayscale (H, W) uint8 image.
-
-    Returns fixed-shape GridDetection; `found` is False when no component
-    has a bounding box covering >= min_area_frac of the image with a
-    plausible aspect ratio (reference cv/grid.py:37 semantics).
-    """
+    density_window: int = 61,
+):
+    """detect_grid plus the intermediate line-family lattices and the
+    detect-scale factor — the extraction stage refines cell boundaries
+    against the lattices (page-curvature correction)."""
     from sudoku_vision_tpu.ops.filters import gaussian_blur_u8
     from sudoku_vision_tpu.ops.threshold import adaptive_threshold
 
@@ -224,52 +347,9 @@ def detect_grid(
     binary = adaptive_threshold(
         gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
 
-    lattice = line_lattice(binary, line_length)
-    h, w = lattice.shape
-
-    # Coarsen for CC (max-pool is safe now: the lattice has no speckle).
-    f = max(1, -(-max(h, w) // coarse))
-    ch, cw = h // f, w // f
-    coarse_mask = jax.lax.reduce_window(
-        lattice[:ch * f, :cw * f], 0, jax.lax.max, (f, f), (f, f),
-        "VALID") > 0
-
-    labels = _coarse_labels(coarse_mask, cc_iters)
-    n = ch * cw
-    flat = labels.reshape(-1)
-    counts = jnp.bincount(flat, length=n + 1).at[0].set(0)
-
-    ys = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1).reshape(-1)
-    x_max = jax.ops.segment_max(xs, flat, num_segments=n + 1)
-    x_min = jax.ops.segment_min(xs, flat, num_segments=n + 1)
-    y_max = jax.ops.segment_max(ys, flat, num_segments=n + 1)
-    y_min = jax.ops.segment_min(ys, flat, num_segments=n + 1)
-    bw = (x_max - x_min + 1).astype(jnp.float32)
-    bh = (y_max - y_min + 1).astype(jnp.float32)
-    bbox_frac = (bw * bh) / float(ch * cw)
-    aspect = bw / jnp.maximum(bh, 1.0)
-    plausible = (
-        (counts > 0)
-        & (bbox_frac >= min_area_frac)
-        & (aspect >= 0.4) & (aspect <= 2.5)
-    )
-    # Prefer components not touching the frame border (page edges); fall
-    # back to border-touching ones for tightly-cropped photos.
-    on_border = ((ys == 0) | (ys == ch - 1) | (xs == 0) | (xs == cw - 1))
-    touches_border = jax.ops.segment_max(
-        on_border.astype(jnp.int32), flat, num_segments=n + 1) > 0
-    score_interior = jnp.where(plausible & ~touches_border, counts, 0)
-    score_any = jnp.where(plausible, counts, 0)
-    score = jnp.where(jnp.any(score_interior > 0), score_interior, score_any)
-    best = jnp.argmax(score).astype(jnp.int32)
-    found_any = score[best] > 0
-    comp_coarse = labels == best
-
-    # Back to detect-res: nearest upsample, require lattice pixels.
-    comp = jnp.repeat(jnp.repeat(comp_coarse, f, axis=0), f, axis=1)
-    comp = jnp.pad(comp, ((0, h - ch * f), (0, w - cw * f)))
-    comp = jnp.logical_and(comp, lattice > 0)
+    lat_h, lat_v = line_lattice_hv(binary, line_length)
+    comp = grid_region_from_lattice(lat_h, lat_v, density_window)
+    found_any = jnp.any(comp)
 
     corners_small = _extreme_corners(comp)
     corners = corners_small * float(ds) + (ds - 1) / 2.0
@@ -284,5 +364,24 @@ def detect_grid(
     comp_px = jnp.sum(comp).astype(jnp.float32) * float(ds * ds)
     fill = jnp.where(quad_area > 0, comp_px / jnp.maximum(quad_area, 1.0), 0.0)
     found = jnp.logical_and(found_any, area_frac >= min_area_frac)
-    return GridDetection(corners=corners, found=found,
-                         area_frac=area_frac, fill=fill)
+    det = GridDetection(corners=corners, found=found,
+                        area_frac=area_frac, fill=fill)
+    return det, lat_h, lat_v, ds
+
+
+def detect_grid(
+    gray: jnp.ndarray,
+    detect_width: int = 950,
+    min_area_frac: float = 0.10,
+    line_length: int = 31,
+    density_window: int = 61,
+) -> GridDetection:
+    """Find the sudoku grid quad in a grayscale (H, W) uint8 image.
+
+    Returns fixed-shape GridDetection; `found` is False when the line
+    lattice is empty or the quad covers < min_area_frac of the image
+    (reference cv/grid.py:37 semantics).
+    """
+    det, _, _, _ = detect_grid_full(
+        gray, detect_width, min_area_frac, line_length, density_window)
+    return det

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from sudoku_vision_tpu.cv.grid import (
-    _avg_pool, _coarse_labels, _extreme_corners, line_lattice,
+    _avg_pool, _extreme_corners, grid_region_from_lattice, line_lattice_hv,
 )
 from sudoku_vision_tpu.ops.filters import gaussian_blur_u8
 from sudoku_vision_tpu.ops.threshold import adaptive_threshold
@@ -96,42 +96,12 @@ def _quad_from_mask(comp: jnp.ndarray, ds: float, gh: int, gw: int):
     return corners, area_frac, fill
 
 
-def _best_component(mask_small: jnp.ndarray, coarse: int, cc_iters: int):
-    """CC + plausibility scoring (shared with v1 detect_grid semantics)."""
-    h, w = mask_small.shape
-    f = max(1, -(-max(h, w) // coarse))
-    ch, cw = h // f, w // f
-    coarse_mask = jax.lax.reduce_window(
-        mask_small[:ch * f, :cw * f].astype(jnp.int32), 0, jax.lax.max,
-        (f, f), (f, f), "VALID") > 0
-    labels = _coarse_labels(coarse_mask, cc_iters)
-    n = ch * cw
-    flat = labels.reshape(-1)
-    counts = jnp.bincount(flat, length=n + 1).at[0].set(0)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1).reshape(-1)
-    x_max = jax.ops.segment_max(xs, flat, num_segments=n + 1)
-    x_min = jax.ops.segment_min(xs, flat, num_segments=n + 1)
-    y_max = jax.ops.segment_max(ys, flat, num_segments=n + 1)
-    y_min = jax.ops.segment_min(ys, flat, num_segments=n + 1)
-    bw = (x_max - x_min + 1).astype(jnp.float32)
-    bh = (y_max - y_min + 1).astype(jnp.float32)
-    bbox_frac = (bw * bh) / float(ch * cw)
-    aspect = bw / jnp.maximum(bh, 1.0)
-    plausible = ((counts > 0) & (bbox_frac >= 0.10)
-                 & (aspect >= 0.4) & (aspect <= 2.5))
-    on_border = ((ys == 0) | (ys == ch - 1) | (xs == 0) | (xs == cw - 1))
-    touches = jax.ops.segment_max(
-        on_border.astype(jnp.int32), flat, num_segments=n + 1) > 0
-    s_int = jnp.where(plausible & ~touches, counts, 0)
-    s_any = jnp.where(plausible, counts, 0)
-    score = jnp.where(jnp.any(s_int > 0), s_int, s_any)
-    best = jnp.argmax(score).astype(jnp.int32)
-    comp_coarse = labels == best
-    comp = jnp.repeat(jnp.repeat(comp_coarse, f, axis=0), f, axis=1)
-    comp = jnp.pad(comp, ((0, h - ch * f), (0, w - cw * f)))
-    comp = jnp.logical_and(comp, mask_small > 0)
-    return comp, score[best] > 0
+def _best_component(lat_h: jnp.ndarray, lat_v: jnp.ndarray,
+                    density_window: int = 61):
+    """Grid-region isolation via two-family line-density (see
+    grid.grid_region_from_lattice — one-shot, no label propagation)."""
+    comp = grid_region_from_lattice(lat_h, lat_v, density_window)
+    return comp, jnp.any(comp)
 
 
 def detect_grid(
@@ -147,17 +117,17 @@ def detect_grid(
         gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
 
     # Strategy inputs.
-    lat0 = line_lattice(binary, 31)
-    lat1 = line_lattice(binary, 15, tuple(range(-45, 46, 3)))
+    lat0 = line_lattice_hv(binary, 31)
+    lat1 = line_lattice_hv(binary, 15, tuple(range(-45, 46, 3)))
     from sudoku_vision_tpu.cv.preprocess_v2 import preprocess_multi_strategy
 
     v2bin = preprocess_multi_strategy(small).binary
-    lat2 = line_lattice(v2bin, 31)
+    lat2 = line_lattice_hv(v2bin, 31)
     ink = (binary > 0).astype(jnp.int32)
 
     quads, valids, areas, fills = [], [], [], []
-    for mask in (lat0, lat1, lat2, ink):
-        comp, found_any = _best_component(mask, 304, 768)
+    for pair in (lat0, lat1, lat2, (ink, ink)):
+        comp, found_any = _best_component(*pair)
         corners, area_frac, fill = _quad_from_mask(comp, float(ds), gh, gw)
         ok = (found_any & (area_frac >= min_area_frac)
               & is_valid_quadrilateral(corners))

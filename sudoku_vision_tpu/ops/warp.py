@@ -158,6 +158,8 @@ def warp_extract_cells(
     warp_size: int = 450,
     cell_out: int = 28,
     margin_frac: float = 0.10,
+    boundaries_y: jnp.ndarray | None = None,
+    boundaries_x: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused rectify + 81-cell crop + resize: (H, W) u8 -> (81, co, co) u8.
 
@@ -165,11 +167,34 @@ def warp_extract_cells(
     Composes the reference's three stages (warp_perspective 450x450 ->
     per-cell 10%-margin crop -> 28x28 resize, reference cv/extract.py:13)
     into a single gather of 81*cell_out^2 samples from the raw frame.
+
+    boundaries_y/x: optional (10,) refined grid-line positions in warped
+    space (see cv.extract.refine_boundaries) — cells are cropped between
+    the detected lines instead of the uniform 9x9 split, correcting page
+    curvature the single homography can't model.
     """
-    pos = jnp.asarray(_cell_sample_positions(warp_size, cell_out, margin_frac))
-    # (9, co) x positions and y positions -> full (81, co, co) grid.
-    wy = pos[:, None, :, None]  # (9, 1, co, 1)
-    wx = pos[None, :, None, :]  # (1, 9, 1, co)
+    if boundaries_y is None:
+        pos = jnp.asarray(
+            _cell_sample_positions(warp_size, cell_out, margin_frac))
+        pos_y = pos_x = pos
+    else:
+        # Per-cell fractional sampling template in [margin, 1-margin).
+        cs = warp_size // 9
+        margin = int(cs * margin_frac)
+        crop = cs - 2 * margin
+        i0, _, _, w1 = _axis_plan(crop, cell_out)
+        frac = ((margin + i0.astype(np.float64)
+                 + w1.astype(np.float64) / 2048.0) / cs).astype(np.float32)
+        frac = jnp.asarray(frac)  # (co,) in (0, 1)
+        lo_y = boundaries_y[:9][:, None]
+        hi_y = boundaries_y[1:][:, None]
+        pos_y = lo_y + (hi_y - lo_y) * frac[None, :]      # (9, co)
+        lo_x = boundaries_x[:9][:, None]
+        hi_x = boundaries_x[1:][:, None]
+        pos_x = lo_x + (hi_x - lo_x) * frac[None, :]
+    # (9, co) positions per axis -> full (81, co, co) sample grid.
+    wy = pos_y[:, None, :, None]  # (9, 1, co, 1)
+    wx = pos_x[None, :, None, :]  # (1, 9, 1, co)
     wyf = jnp.broadcast_to(wy, (9, 9, cell_out, cell_out))
     wxf = jnp.broadcast_to(wx, (9, 9, cell_out, cell_out))
     sx, sy = _project(jnp.asarray(m_inv, jnp.float32), wxf, wyf)

@@ -23,8 +23,9 @@ from sudoku_vision_tpu.cv.extract import (
     cells_empty_mask,
     extract_cells,
     preprocess_cells_for_model,
+    refine_boundaries,
 )
-from sudoku_vision_tpu.cv.grid import GridDetection, detect_grid
+from sudoku_vision_tpu.cv.grid import GridDetection, detect_grid_full
 
 
 class PerceptionOutput(NamedTuple):
@@ -48,10 +49,13 @@ def perceive(
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
     gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
-    det: GridDetection = detect_grid(gray)
+    det, lat_h, lat_v, ds = detect_grid_full(gray)
     m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
     m_inv = jnp.linalg.inv(m)
-    cells = extract_cells(gray, m_inv, warp_size, cell_size)
+    # Snap cell boundaries to the detected grid lines (page-curvature fix).
+    b_y, b_x = refine_boundaries(lat_h, lat_v, m_inv, ds, warp_size)
+    cells = extract_cells(gray, m_inv, warp_size, cell_size,
+                          boundaries_y=b_y, boundaries_x=b_x)
     empty = cells_empty_mask(cells)
     x = preprocess_cells_for_model(cells)
     logits = model.apply(variables, x, temperature=temperature) \
