@@ -366,7 +366,7 @@ def detect_grid_full(
     found = jnp.logical_and(found_any, area_frac >= min_area_frac)
     det = GridDetection(corners=corners, found=found,
                         area_frac=area_frac, fill=fill)
-    return det, lat_h, lat_v, ds
+    return det, lat_h, lat_v, ds, small
 
 
 def detect_grid(
@@ -382,6 +382,6 @@ def detect_grid(
     lattice is empty or the quad covers < min_area_frac of the image
     (reference cv/grid.py:37 semantics).
     """
-    det, _, _, _ = detect_grid_full(
+    det, _, _, _, _ = detect_grid_full(
         gray, detect_width, min_area_frac, line_length, density_window)
     return det

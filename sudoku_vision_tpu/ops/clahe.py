@@ -37,13 +37,14 @@ def clahe(
     area = th * tw
     climit = max(1, int(clip_limit * area / 256.0))
 
-    # Per-tile histograms: (ty*tx, 256) via one flat bincount.
+    # Per-tile histograms: comparison-sum instead of scatter (bincount's
+    # scatter-add is slow on TPU; an equality-broadcast reduction is pure
+    # VPU work and fuses).
     tiles_px = x.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(
         ty * tx, area).astype(jnp.int32)
-    offs = (jnp.arange(ty * tx, dtype=jnp.int32) * 256)[:, None]
-    hist = jnp.bincount(
-        (tiles_px + offs).reshape(-1), length=ty * tx * 256
-    ).reshape(ty * tx, 256)
+    bins256 = jnp.arange(256, dtype=jnp.int32)
+    hist = (tiles_px[:, :, None] == bins256[None, None, :]).sum(
+        axis=1, dtype=jnp.int32)
 
     # Clip and redistribute (cv2 scheme: uniform batch + residual every
     # step-th bin, step = max(1, 256 // residual)).

@@ -49,12 +49,23 @@ def perceive(
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
     gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
-    det, lat_h, lat_v, ds = detect_grid_full(gray)
+    det, lat_h, lat_v, ds, small = detect_grid_full(gray)
     m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
     m_inv = jnp.linalg.inv(m)
     # Snap cell boundaries to the detected grid lines (page-curvature fix).
     b_y, b_x = refine_boundaries(lat_h, lat_v, m_inv, ds, warp_size)
-    cells = extract_cells(gray, m_inv, warp_size, cell_size,
+    # Sample cells from the detect-scale image: at 28px per ~40px cell it
+    # loses nothing, and gathers from a table that fits VMEM run far
+    # faster than random access into the 10-megapixel frame.
+    # x_small = (x_full - (ds-1)/2) / ds (pixel-center alignment of the
+    # area-averaged pyramid level): fold into the projective rows.
+    off = (ds - 1) / 2.0
+    m_inv_small = jnp.stack([
+        (m_inv[0] - off * m_inv[2]) / ds,
+        (m_inv[1] - off * m_inv[2]) / ds,
+        m_inv[2],
+    ])
+    cells = extract_cells(small, m_inv_small, warp_size, cell_size,
                           boundaries_y=b_y, boundaries_x=b_x)
     empty = cells_empty_mask(cells)
     x = preprocess_cells_for_model(cells)
