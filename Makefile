@@ -1,0 +1,83 @@
+# Task runner — workflow parity with the reference's root Makefile
+# (reference Makefile: train/test/solver/tooling targets encoding the
+# canonical hyperparameters per workflow).
+
+PY := python
+
+.PHONY: help solver solver-test test test-fast e2e bench data train-v3 \
+        train-v1 train-combined evaluate cv-test extract-cells serve \
+        export-onnx clean
+
+help:
+	@echo "targets: solver solver-test test e2e bench data train-v3 train-v1"
+	@echo "         train-combined evaluate cv-test extract-cells serve"
+	@echo "         export-onnx clean"
+
+# --- native solver ---
+solver:
+	$(MAKE) -C native/solver all
+
+solver-test:
+	$(MAKE) -C native/solver test
+
+# --- tests ---
+test: solver
+	$(PY) -m pytest tests/ -x -q
+
+test-fast:
+	$(PY) -m pytest tests/test_solver.py tests/test_reasoning.py -q
+
+# --- e2e + benchmarks (TPU) ---
+e2e:
+	$(PY) -m sudoku_vision_tpu.harness.e2e_runner --history
+
+bench:
+	$(PY) bench.py
+
+pipeline-bench:
+	$(PY) -m sudoku_vision_tpu.pipeline.benchmark --batch 32
+
+# --- data + training (canonical hyperparameters) ---
+data:
+	$(PY) -m sudoku_vision_tpu.ml.generate_synthetic \
+	    --out data/synthetic --per-class 1500 --seed 2
+
+train-v3:
+	$(PY) -m sudoku_vision_tpu.ml.train --dataset synthetic \
+	    --data-dir data/synthetic --model v3 --epochs 30 \
+	    --batch-size 256 --augment medium --calibrate --out digit_cnn_v3
+
+train-v1:
+	$(PY) -m sudoku_vision_tpu.ml.train --dataset synthetic \
+	    --data-dir data/synthetic --model v1 --epochs 10 \
+	    --batch-size 256 --augment light --mixup 0 --out digit_cnn_v1
+
+train-combined:
+	$(PY) -m sudoku_vision_tpu.ml.train --dataset combined \
+	    --data-dir data/synthetic --real-dir data/real --model v3 \
+	    --epochs 30 --batch-size 256 --augment medium --calibrate \
+	    --out digit_cnn_v3_combined
+
+evaluate:
+	$(PY) -m sudoku_vision_tpu.ml.evaluate --ckpt digit_cnn_v3 \
+	    --model v3 --data-dir data/synthetic --plots eval_out/
+
+# --- CV validation + tooling ---
+cv-test:
+	$(PY) -m sudoku_vision_tpu.cv.test_pipeline --debug-out debug_output/
+
+extract-cells:
+	$(PY) -m sudoku_vision_tpu.tools.extract_cells \
+	    --input /root/reference/data/test_images --output data/cells
+
+# --- serving + export ---
+serve:
+	$(PY) -m sudoku_vision_tpu.serve.server --port 8602
+
+export-onnx:
+	$(PY) -m sudoku_vision_tpu.ml.export --ckpt digit_cnn_v1 --model v1 \
+	    --out models_export/digit_cnn_v1.onnx
+
+clean:
+	$(MAKE) -C native/solver clean
+	rm -rf debug_output eval_out .pytest_cache
