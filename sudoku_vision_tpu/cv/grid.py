@@ -263,7 +263,8 @@ def _box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def grid_region_from_lattice(
     lat_h: jnp.ndarray, lat_v: jnp.ndarray,
-    k: int = 61, rel_thresh: float = 0.35
+    k: int = 61, rel_thresh: float = 0.35,
+    dark: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Isolate the sudoku-grid region WITHOUT connected components.
 
@@ -318,6 +319,11 @@ def grid_region_from_lattice(
     comp = jnp.logical_and(
         region_full,
         jnp.logical_and(fine, jnp.logical_or(lat_h > 0, lat_v > 0)))
+    if dark is not None:
+        # Require real ink: show-through ghosts of the overleaf page form
+        # line crossings too, but only ~15 gray levels below paper; true
+        # grid lines are far darker than their local surroundings.
+        comp = jnp.logical_and(comp, dark)
     # Grid crossings come in a lattice — require neighborhood support so
     # an isolated stray crossing can't steal an extreme point.
     support = _box_sum(comp, k) > 60.0
@@ -347,8 +353,17 @@ def detect_grid_full(
     binary = adaptive_threshold(
         gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
 
+    from sudoku_vision_tpu.ops.filters import box_mean_u8
+    from sudoku_vision_tpu.ops.morphology import erode
+
     lat_h, lat_v = line_lattice_hv(binary, line_length)
-    comp = grid_region_from_lattice(lat_h, lat_v, density_window)
+    # Ink gate on the LINE CORE: lattice pixels are thickened 3 px across
+    # the line, so judge darkness by the windowed minimum (the stroke
+    # core) vs the local mean. Real print cores run 50-150 below local
+    # mean; show-through ghosts of the overleaf page only ~10-25.
+    core = erode(small, 5).astype(jnp.int32)
+    dark = core < (box_mean_u8(small, 31).astype(jnp.int32) - 30)
+    comp = grid_region_from_lattice(lat_h, lat_v, density_window, dark=dark)
     found_any = jnp.any(comp)
 
     corners_small = _extreme_corners(comp)

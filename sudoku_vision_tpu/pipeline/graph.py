@@ -48,8 +48,27 @@ def perceive(
     temperature=None,
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
-    gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
-    det, lat_h, lat_v, ds, small = detect_grid_full(gray)
+    if img.ndim == 3:
+        # Pool the BGR frame FIRST, then grayscale at detect scale: the
+        # only consumer of full-resolution luma was the detection
+        # pyramid's own average-pool (cells sample the pooled image), so
+        # the 10-megapixel grayscale pass is pure waste. avg+gray and
+        # gray+avg commute up to rounding.
+        from sudoku_vision_tpu.cv.grid import _avg_pool
+
+        gh, gw = img.shape[:2]
+        ds0 = max(1, round(max(gh, gw) / 950))
+        pooled = jnp.stack([
+            _avg_pool(img[..., c], ds0) for c in range(3)], axis=-1)
+        gray_small = ops.bgr_to_gray(
+            jnp.clip(jnp.rint(pooled), 0, 255).astype(jnp.uint8))
+        det, lat_h, lat_v, ds_inner, small = detect_grid_full(gray_small)
+        ds = ds0 * ds_inner
+        # Corners come back in gray_small coords; lift to full-res.
+        det = det._replace(
+            corners=det.corners * float(ds0) + (ds0 - 1) / 2.0)
+    else:
+        det, lat_h, lat_v, ds, small = detect_grid_full(img)
     m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
     m_inv = jnp.linalg.inv(m)
     # Snap cell boundaries to the detected grid lines (page-curvature fix).
