@@ -154,14 +154,14 @@ class DigitCNNv3Light(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False, temperature=None):
         x = x.astype(self.dtype)
-        for ch, st in ((16, 1), (32, 2), (64, 2)):
+        for ch, st in ((32, 1), (64, 2), (128, 2)):
             x = nn.Conv(ch, (3, 3), strides=(st, st), padding="SAME",
                         use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train,
                              dtype=self.dtype)(x)
             x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(64, dtype=self.dtype)(x)
+        x = nn.Dense(96, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.3, deterministic=not train)(x)
         logits = nn.Dense(NUM_CLASSES, dtype=self.dtype)(x).astype(jnp.float32)

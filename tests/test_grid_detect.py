@@ -17,7 +17,7 @@ from sudoku_vision_tpu.cv.grid import (
 )
 
 
-def draw_grid(h=480, w=480, tl=(60, 60), size=300, rot_deg=0.0,
+def draw_grid(h=360, w=360, tl=(40, 40), size=260, rot_deg=0.0,
               line_w=2, noise=0.0, seed=0):
     """Render a synthetic sudoku grid photo (gray, uint8)."""
     rng = np.random.default_rng(seed)
@@ -57,12 +57,12 @@ def expected_corners(tl, size, rot_deg, h, w):
     return np.array(pts)
 
 
-@pytest.mark.parametrize("rot", [0.0, 8.0, 20.0])
+@pytest.mark.parametrize("rot", [0.0, 20.0])
 def test_detect_drawn_grid(rot):
     img = draw_grid(rot_deg=rot)
     det = jax.jit(detect_grid)(jnp.asarray(img))
     assert bool(det.found), f"rot={rot}"
-    want = expected_corners((60, 60), 300, rot, 480, 480)
+    want = expected_corners((40, 40), 260, rot, 360, 360)
     got = np.asarray(det.corners)
     err = np.abs(order_corners(jnp.asarray(want)) - got).max()
     assert err < 12, f"rot={rot} err={err}"
@@ -72,13 +72,13 @@ def test_detect_with_speckle_noise():
     img = draw_grid(noise=0.03, seed=3)
     det = jax.jit(detect_grid)(jnp.asarray(img))
     assert bool(det.found)
-    want = expected_corners((60, 60), 300, 0, 480, 480)
+    want = expected_corners((40, 40), 260, 0, 360, 360)
     assert np.abs(want - np.asarray(det.corners)).max() < 12
 
 
 def test_no_grid_not_found():
     rng = np.random.default_rng(0)
-    img = (rng.normal(200, 15, (480, 480))).clip(0, 255).astype(np.uint8)
+    img = (rng.normal(200, 15, (360, 360))).clip(0, 255).astype(np.uint8)
     det = jax.jit(detect_grid)(jnp.asarray(img))
     assert not bool(det.found)
 

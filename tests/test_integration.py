@@ -18,7 +18,7 @@ from tests.test_grid_detect import draw_grid
 
 @pytest.fixture(scope="module")
 def scene():
-    return draw_grid(h=360, w=360, tl=(40, 40), size=280, seed=1)
+    return draw_grid(h=360, w=360, tl=(40, 40), size=260, seed=1)
 
 
 def test_cv_to_ml_seam(scene):

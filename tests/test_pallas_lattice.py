@@ -21,20 +21,20 @@ def test_shift_plan_covers_length():
 
 def test_pallas_matches_xla_interior():
     rng = np.random.default_rng(0)
-    img = np.zeros((96, 160), np.uint8)
+    img = np.zeros((64, 128), np.uint8)
     img[40, 10:120] = 255                      # horizontal line
-    img[10:80, 60] = 255                       # vertical line
-    for r in range(20, 70):                    # slanted line
+    img[10:60, 60] = 255                       # vertical line
+    for r in range(20, 50):                    # slanted line
         img[r, int(90 + 0.35 * (r - 20))] = 255
-    img[(rng.random((96, 160)) < 0.02)] = 255  # speckle
+    img[(rng.random((64, 128)) < 0.02)] = 255  # speckle
 
-    angles = tuple(range(-45, 46, 15))
+    angles = tuple(range(-30, 31, 15))
     ah, av = jax.jit(
         lambda b: line_lattice_hv(b, 15, angles))(jnp.asarray(img))
     bh, bv = line_lattice_hv_pallas(jnp.asarray(img), 15, angles,
                                     interpret=True)
     # Interior (away from right/bottom pad band) must agree exactly.
-    sl = (slice(0, 96 - 16), slice(0, 160 - 16))
+    sl = (slice(0, 64 - 16), slice(0, 128 - 16))
     np.testing.assert_array_equal(np.asarray(ah)[sl], np.asarray(bh)[sl])
     np.testing.assert_array_equal(np.asarray(av)[sl], np.asarray(bv)[sl])
     # The line survived, the speckle died.
