@@ -13,4 +13,6 @@ def enable(path: str | None = None) -> None:
             os.path.abspath(__file__)))), ".jax_cache"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Near-zero threshold: on the 1-core host even "small" compiles are
+    # seconds, and the test suite is dominated by hundreds of them.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
