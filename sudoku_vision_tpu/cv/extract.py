@@ -44,7 +44,7 @@ def refine_boundaries(
     ds: int,
     warp_size: int = 450,
     window: int = 16,
-    n_profile: int = 226,
+    n_profile: int = 150,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Snap the 10 nominal grid-line positions to the detected lattice.
 
