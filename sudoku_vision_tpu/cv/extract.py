@@ -30,11 +30,12 @@ def extract_cells(
     margin_frac: float = 0.10,
     boundaries_y: jnp.ndarray | None = None,
     boundaries_x: jnp.ndarray | None = None,
+    sample_mode: str = "bilinear",
 ) -> jnp.ndarray:
     """(H, W) u8 + inverse homography -> (81, 28, 28) u8 cell images."""
     return ops.warp_extract_cells(
         img_gray, m_inv, warp_size, cell_size, margin_frac,
-        boundaries_y, boundaries_x)
+        boundaries_y, boundaries_x, sample_mode)
 
 
 def refine_boundaries(

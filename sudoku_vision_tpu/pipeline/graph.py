@@ -85,7 +85,8 @@ def perceive(
         m_inv[2],
     ])
     cells = extract_cells(small, m_inv_small, warp_size, cell_size,
-                          boundaries_y=b_y, boundaries_x=b_x)
+                          boundaries_y=b_y, boundaries_x=b_x,
+                          sample_mode="nearest")
     empty = cells_empty_mask(cells)
     x = preprocess_cells_for_model(cells)
     logits = model.apply(variables, x, temperature=temperature) \
