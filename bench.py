@@ -47,15 +47,14 @@ def main() -> int:
     reps = -(-batch // len(frames))
     stack = np.stack((frames * reps)[:batch])
 
-    model = DigitCNNv3()
-    variables = ckpt.load_variables_or_none("digit_cnn_v3")
-    if variables is None:
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 28, 28, 1), jnp.float32))
+    from sudoku_vision_tpu.pipeline.run_v2 import load_model
+
+    model, variables, temperature, _, use_clahe = load_model("v3")
 
     @jax.jit
     def fn(imgs):
-        out = jax.vmap(lambda im: perceive(im, model, variables))(imgs)
+        out = jax.vmap(lambda im: perceive(
+            im, model, variables, use_clahe=use_clahe))(imgs)
         return out.digits, out.confidence, out.corners, out.grid_found
 
     dev_stack = jax.device_put(jnp.asarray(stack))

@@ -116,14 +116,22 @@ def cells_empty_mask(
     return ink_ratio < ink_thresh
 
 
-def preprocess_cells_for_model(cells: jnp.ndarray) -> jnp.ndarray:
+def preprocess_cells_for_model(cells: jnp.ndarray,
+                               use_clahe: bool = True) -> jnp.ndarray:
     """Canonical CNN input preproc for (81, 28, 28) u8 cells.
 
     CLAHE(2.0, 4x4 tiles) -> adaptive gaussian threshold(11, 2, BINARY) ->
     invert -> [0,1] -> normalize to [-1,1]; returns float32 (81, 28, 28, 1).
     Matches reference ml/datasets.py:18 + pipeline/run.py:146 normalize.
+
+    use_clahe=False skips the (expensive) CLAHE stage: the adaptive
+    threshold is itself locally contrast-normalizing, so a model TRAINED
+    with the same flag reaches the same accuracy at ~1.5x pipeline
+    throughput. Train/serve must agree on the flag (checkpoint metadata
+    records it).
     """
-    cl = jax.vmap(lambda c: ops.clahe(c, 2.0, (4, 4)))(cells)
+    cl = (jax.vmap(lambda c: ops.clahe(c, 2.0, (4, 4)))(cells)
+          if use_clahe else cells)
     th = ops.adaptive_threshold(cl, 11, 2, method="gaussian", invert=False)
     inv = (255 - th.astype(jnp.int32)).astype(jnp.float32) / 255.0
     norm = (inv - 0.5) / 0.5

@@ -83,14 +83,14 @@ def smoothed_cross_entropy(logits, labels_onehot, smoothing: float):
 
 
 @partial(jax.jit, static_argnames=("model", "augment", "mixup_alpha",
-                                   "smoothing", "has_bn"))
+                                   "smoothing", "has_bn", "use_clahe"))
 def train_step(state: TrainState, raw_images, labels, key, *, model,
                augment: str, mixup_alpha: float, smoothing: float,
-               has_bn: bool):
+               has_bn: bool, use_clahe: bool = True):
     k_aug, k_mix, k_drop = jax.random.split(key, 3)
     if augment != "none":
         raw_images = augment_batch(raw_images, k_aug, augment)
-    inputs = preprocess_cells_for_model(raw_images)
+    inputs = preprocess_cells_for_model(raw_images, use_clahe)
     onehot = jax.nn.one_hot(labels, 10)
     if mixup_alpha > 0:
         inputs, onehot = mixup(inputs, onehot, k_mix, mixup_alpha)
@@ -118,14 +118,16 @@ def train_step(state: TrainState, raw_images, labels, key, *, model,
     return state, loss, acc
 
 
-@partial(jax.jit, static_argnames=("model",))
-def eval_step(state: TrainState, raw_images, labels, *, model):
-    inputs = preprocess_cells_for_model(raw_images)
+@partial(jax.jit, static_argnames=("model", "use_clahe"))
+def eval_step(state: TrainState, raw_images, labels, *, model,
+              use_clahe: bool = True):
+    inputs = preprocess_cells_for_model(raw_images, use_clahe)
     logits = model.apply(_model_variables(state), inputs)
     return logits, (logits.argmax(-1) == labels)
 
 
-def evaluate(state, model, ds: CellDataset, batch_size: int = 512):
+def evaluate(state, model, ds: CellDataset, batch_size: int = 512,
+             use_clahe: bool = True):
     """Full-dataset eval; returns (accuracy, per_class_acc, logits, labels)."""
     all_logits, all_correct, all_labels = [], [], []
     n = len(ds)
@@ -139,7 +141,8 @@ def evaluate(state, model, ds: CellDataset, batch_size: int = 512):
         else:
             lab_p = lab
         logits, correct = eval_step(
-            state, jnp.asarray(img), jnp.asarray(lab_p), model=model)
+            state, jnp.asarray(img), jnp.asarray(lab_p), model=model,
+            use_clahe=use_clahe)
         all_logits.append(np.asarray(logits)[:len(lab)])
         all_correct.append(np.asarray(correct)[:len(lab)])
         all_labels.append(lab)
@@ -202,6 +205,9 @@ def main(argv=None) -> int:
     p.add_argument("--calibrate", action="store_true")
     p.add_argument("--pretrained", help="checkpoint name to fine-tune from")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-clahe", action="store_true",
+                   help="train WITHOUT the CLAHE preproc stage (fast "
+                        "inference path; recorded in checkpoint metadata)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--out", default=None, help="checkpoint name")
     args = p.parse_args(argv)
@@ -262,10 +268,12 @@ def main(argv=None) -> int:
             state, loss, acc = train_step(
                 state, jnp.asarray(img), jnp.asarray(lab), k, model=model,
                 augment=args.augment, mixup_alpha=args.mixup,
-                smoothing=args.label_smoothing, has_bn=has_bn)
+                smoothing=args.label_smoothing, has_bn=has_bn,
+                use_clahe=not args.no_clahe)
             losses.append(float(loss))
             accs.append(float(acc))
-        val_acc, per_class, _, _ = evaluate(state, model, val_ds)
+        val_acc, per_class, _, _ = evaluate(state, model, val_ds,
+                                            use_clahe=not args.no_clahe)
         rec = {"epoch": epoch, "loss": float(np.mean(losses)),
                "train_acc": float(np.mean(accs)), "val_acc": val_acc,
                "lr": float(sched(state.step)),
@@ -278,6 +286,7 @@ def main(argv=None) -> int:
             best_acc, best_epoch = val_acc, epoch
             ckpt.save_variables(out_name, _model_variables(state), {
                 "model": args.model, "dataset": args.dataset,
+                "use_clahe": not args.no_clahe,
                 "val_acc": val_acc, "epoch": epoch,
                 "per_class": per_class.tolist(),
                 "params": count_parameters(state.params),
@@ -293,7 +302,8 @@ def main(argv=None) -> int:
         best_vars = ckpt.load_variables_or_none(out_name)
         cal_state = state.replace(params=best_vars["params"],
                                   batch_stats=best_vars.get("batch_stats"))
-        _, _, logits, labels = evaluate(cal_state, model, val_ds)
+        _, _, logits, labels = evaluate(cal_state, model, val_ds,
+                                        use_clahe=not args.no_clahe)
         t = calibrate_temperature(logits, labels)
         meta["temperature"] = t
         ckpt.save_variables(out_name, best_vars, meta)

@@ -46,6 +46,7 @@ def perceive(
     warp_size: int = 450,
     cell_size: int = 28,
     temperature=None,
+    use_clahe: bool = True,
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
     if img.ndim == 3:
@@ -88,7 +89,7 @@ def perceive(
                           boundaries_y=b_y, boundaries_x=b_x,
                           sample_mode="nearest")
     empty = cells_empty_mask(cells)
-    x = preprocess_cells_for_model(cells)
+    x = preprocess_cells_for_model(cells, use_clahe)
     logits = model.apply(variables, x, temperature=temperature) \
         if _accepts_temperature(model) else model.apply(variables, x)
     probs = jax.nn.softmax(logits, axis=-1)

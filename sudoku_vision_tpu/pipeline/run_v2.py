@@ -74,34 +74,38 @@ _MODEL_CLASSES = {"v1": DigitCNN, "v3": DigitCNNv3, "v3light": DigitCNNv3Light}
 
 # Checkpoint fallback chain (reference run_v2.py:104-110).
 _CKPT_CHAIN = {
-    "v3": ["digit_cnn_v3_final", "digit_cnn_v3_combined", "digit_cnn_v3",
-           "digit_cnn_v3_synthetic"],
+    "v3": ["digit_cnn_v3_final", "digit_cnn_v3_combined",
+           "digit_cnn_v3_noclahe", "digit_cnn_v3", "digit_cnn_v3_synthetic"],
     "v3light": ["digit_cnn_v3light"],
     "v1": ["digit_cnn_v1"],
 }
 
 
 def load_model(model_name: str = "v3"):
-    """Model + variables + temperature via the fallback chain."""
+    """Model + variables + temperature + preproc flag via fallback chain."""
     model = _MODEL_CLASSES[model_name]()
     name, variables = ckpt.load_first(_CKPT_CHAIN[model_name])
-    temperature = 1.0
+    temperature, use_clahe = 1.0, True
     if variables is None:
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 28, 28, 1), jnp.float32))
     else:
-        temperature = float(ckpt.load_metadata(name).get("temperature", 1.0))
-    return model, variables, temperature, name
+        meta = ckpt.load_metadata(name)
+        temperature = float(meta.get("temperature", 1.0))
+        use_clahe = bool(meta.get("use_clahe", True))
+    return model, variables, temperature, name, use_clahe
 
 
 @functools.lru_cache(maxsize=4)
 def _jitted_graph(h: int, w: int, channels: int, model_name: str):
-    model, variables, temperature, ckpt_name = load_model(model_name)
+    model, variables, temperature, ckpt_name, use_clahe = load_model(
+        model_name)
 
     @jax.jit
     def fn(img):
         out = perceive(img, model, variables,
-                       temperature=jnp.float32(temperature))
+                       temperature=jnp.float32(temperature),
+                       use_clahe=use_clahe)
         gray = img if img.ndim == 2 else None
         from sudoku_vision_tpu import ops
         gray = ops.bgr_to_gray(img) if img.ndim == 3 else img

@@ -48,13 +48,13 @@ class VideoResult:
 
 @functools.lru_cache(maxsize=2)
 def _jitted_chunk(t: int, h: int, w: int, c: int, model_name: str):
-    model, variables, temperature, _ = load_model(model_name)
+    model, variables, temperature, _, use_clahe = load_model(model_name)
 
     @jax.jit
     def fn(frames):
         out = jax.vmap(lambda im: perceive(
-            im, model, variables,
-            temperature=jnp.float32(temperature)))(frames)
+            im, model, variables, temperature=jnp.float32(temperature),
+            use_clahe=use_clahe))(frames)
         stab = stabilize_sequence(out.corners, out.grid_found)
         return out.digits, out.confidence, out.grid_found, stab
 

@@ -42,8 +42,8 @@ class InferenceEngine:
         from sudoku_vision_tpu.pipeline.run_v2 import load_model
 
         self._jax = jax
-        self.model, self.variables, self.temperature, self.ckpt = (
-            load_model(model_name))
+        (self.model, self.variables, self.temperature, self.ckpt,
+         self.use_clahe) = load_model(model_name)
         self._lock = threading.Lock()
         self._fns: dict = {}
 
@@ -55,11 +55,12 @@ class InferenceEngine:
 
         if shape not in self._fns:
             model, variables, t = self.model, self.variables, self.temperature
+            uc = self.use_clahe
 
             @jax.jit
             def fn(img):
                 out = perceive(img, model, variables,
-                               temperature=jnp.float32(t))
+                               temperature=jnp.float32(t), use_clahe=uc)
                 return (out.digits, out.confidence, out.corners,
                         out.grid_found)
 
