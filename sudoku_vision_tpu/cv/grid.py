@@ -325,8 +325,9 @@ def grid_region_from_lattice(
         # grid lines are far darker than their local surroundings.
         comp = jnp.logical_and(comp, dark)
     # Grid crossings come in a lattice — require neighborhood support so
-    # an isolated stray crossing can't steal an extreme point.
-    support = _box_sum(comp, k) > 60.0
+    # an isolated stray crossing can't steal an extreme point (count
+    # threshold scales with the window area, tuned at k=61).
+    support = _box_sum(comp, k) > 60.0 * (k / 61.0) ** 2
     return jnp.logical_and(comp, support)
 
 

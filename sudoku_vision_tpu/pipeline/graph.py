@@ -63,17 +63,21 @@ def perceive(
             _avg_pool(img[..., c], ds0) for c in range(3)], axis=-1)
         gray_small = ops.bgr_to_gray(
             jnp.clip(jnp.rint(pooled), 0, 255).astype(jnp.uint8))
+        # (Half-scale detection was A/B-tested and rejected: grid lines
+        # drop below 1 px at ds=8 and the lattice collapses.)
         det, lat_h, lat_v, ds_inner, small = detect_grid_full(gray_small)
+        ds_det = ds0 * ds_inner
         ds = ds0 * ds_inner
         # Corners come back in gray_small coords; lift to full-res.
         det = det._replace(
             corners=det.corners * float(ds0) + (ds0 - 1) / 2.0)
     else:
-        det, lat_h, lat_v, ds, small = detect_grid_full(img)
+        det, lat_h, lat_v, ds_det, small = detect_grid_full(img)
+        ds = ds_det
     m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
     m_inv = jnp.linalg.inv(m)
     # Snap cell boundaries to the detected grid lines (page-curvature fix).
-    b_y, b_x = refine_boundaries(lat_h, lat_v, m_inv, ds, warp_size)
+    b_y, b_x = refine_boundaries(lat_h, lat_v, m_inv, ds_det, warp_size)
     # Sample cells from the detect-scale image: at 28px per ~40px cell it
     # loses nothing, and gathers from a table that fits VMEM run far
     # faster than random access into the 10-megapixel frame.
