@@ -71,10 +71,12 @@ def main(argv=None) -> int:
             out = jax.vmap(lambda im: perceive(im, model, variables))(imgs)
             return out.digits
 
-        jax.block_until_ready(fn(stack))
+        # Fetch-timed: block_until_ready is a no-op through the axon
+        # tunnel, so pull the digits to host each iteration.
+        np.asarray(fn(stack))
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            jax.block_until_ready(fn(stack))
+            np.asarray(fn(stack))
         dt = (time.perf_counter() - t0) / args.iters
         print(f"batched: {args.batch} frames in {dt * 1e3:.1f} ms "
               f"-> {args.batch / dt:.1f} fps")
