@@ -24,12 +24,19 @@ enum {
   SV_OK = 0,          /* solved / valid */
   SV_INVALID = 1,     /* grid violates sudoku rules or has out-of-range cells */
   SV_UNSOLVABLE = 2,  /* valid clues but no completion exists */
-  SV_IOERROR = 3      /* file I/O failure */
+  SV_IOERROR = 3,     /* file I/O failure */
+  SV_TIMEOUT = 4      /* deadline expired before the search finished */
 };
 
 /* Solve in place. Returns SV_OK and fills grid with the solution,
  * or SV_INVALID / SV_UNSOLVABLE (grid left in input state on failure). */
 int sv_solve(int32_t grid[81]);
+
+/* Solve in place with a wall-clock deadline (reference run_v2.py:230 uses
+ * a 5 s subprocess timeout; here the abort happens inside the search, so
+ * the grid is left in input state and SV_TIMEOUT returned instead of the
+ * caller killing a process). timeout_s <= 0 means no deadline. */
+int sv_solve_deadline(int32_t grid[81], double timeout_s);
 
 /* Validate clues only (range + row/col/box duplicates). SV_OK or SV_INVALID. */
 int sv_validate(const int32_t grid[81]);

@@ -12,6 +12,7 @@
 
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 
 namespace {
 
@@ -150,21 +151,43 @@ bool find_mrv(const State& s, int& out_r, int& out_c, uint16_t& out_m) {
   return best <= 9;
 }
 
-bool dfs(State& s) {
-  if (!propagate(s)) return false;
-  if (s.empties == 0) return true;
+// Deadline bookkeeping for sv_solve_deadline: the clock syscall is only
+// paid once per kDeadlineStride branch nodes.
+struct Deadline {
+  double end = 0.0;  // CLOCK_MONOTONIC seconds; 0 = no deadline
+  long nodes = 0;
+  bool expired = false;
+
+  bool check() {
+    if (end == 0.0 || expired) return expired;
+    if ((++nodes & 4095) == 0) {
+      timespec ts;
+      clock_gettime(CLOCK_MONOTONIC, &ts);
+      if (ts.tv_sec + ts.tv_nsec * 1e-9 >= end) expired = true;
+    }
+    return expired;
+  }
+};
+
+// Tri-state search: 1 solved, 0 unsolvable, -1 deadline expired.
+int dfs(State& s, Deadline& dl) {
+  if (dl.check()) return -1;
+  if (!propagate(s)) return 0;
+  if (s.empties == 0) return 1;
   int r, c;
   uint16_t m;
-  if (!find_mrv(s, r, c, m)) return false;
+  if (!find_mrv(s, r, c, m)) return 0;
   for (uint16_t t = m; t; t &= static_cast<uint16_t>(t - 1)) {
     State branch = s;
     place(branch, r, c, bit_digit(static_cast<uint16_t>(t & -t)));
-    if (dfs(branch)) {
+    int res = dfs(branch, dl);
+    if (res == 1) {
       s = branch;
-      return true;
+      return 1;
     }
+    if (res == -1) return -1;
   }
-  return false;
+  return 0;
 }
 
 // Count solutions up to limit.
@@ -195,15 +218,25 @@ int sv_validate(const int32_t grid[81]) {
   return init_state(grid, s) ? SV_OK : SV_INVALID;
 }
 
-int sv_solve(int32_t grid[81]) {
+int sv_solve_deadline(int32_t grid[81], double timeout_s) {
   int v = sv_validate(grid);
   if (v != SV_OK) return v;
   State s;
   init_state(grid, s);
-  if (!dfs(s)) return SV_UNSOLVABLE;
+  Deadline dl;
+  if (timeout_s > 0) {
+    timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    dl.end = ts.tv_sec + ts.tv_nsec * 1e-9 + timeout_s;
+  }
+  int res = dfs(s, dl);
+  if (res == -1) return SV_TIMEOUT;
+  if (res == 0) return SV_UNSOLVABLE;
   std::memcpy(grid, s.grid, sizeof(s.grid));
   return SV_OK;
 }
+
+int sv_solve(int32_t grid[81]) { return sv_solve_deadline(grid, 0.0); }
 
 int sv_candidates(const int32_t grid[81], uint16_t cands[81]) {
   State s;

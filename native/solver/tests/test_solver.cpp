@@ -243,6 +243,34 @@ void test_batch() {
   CHECK("batch third verified", verify_solution(grids + 162, clues));
 }
 
+void test_deadline() {
+  int32_t g[81], before[81];
+  // Generous deadline: solves normally.
+  parse81(kEvil, g);
+  parse81(kEvil, before);
+  int32_t clues[81];
+  parse81(kEvil, clues);
+  CHECK("deadline generous solves", sv_solve_deadline(g, 30.0) == SV_OK);
+  CHECK("deadline generous verified", verify_solution(g, clues));
+  // Zero/negative deadline means "no deadline".
+  parse81(kEasy, g);
+  CHECK("deadline zero = unlimited", sv_solve_deadline(g, 0.0) == SV_OK);
+  // Impossibly tight deadline on a search-heavy grid: SV_TIMEOUT, grid
+  // untouched. (The deadline is sampled every 4096 nodes, so a puzzle
+  // must branch enough to hit the first check; the evil tier does.)
+  parse81(kEvil, g);
+  int st = sv_solve_deadline(g, 1e-9);
+  if (st == SV_TIMEOUT) {
+    CHECK("deadline timeout status", st == SV_TIMEOUT);
+    CHECK("deadline leaves input grid",
+          std::memcmp(g, before, sizeof(g)) == 0);
+  } else {
+    // Solver beat the first clock check — acceptable on very fast hosts.
+    CHECK("deadline fast-solve fallback", st == SV_OK);
+    CHECK("deadline fast-solve verified", verify_solution(g, before));
+  }
+}
+
 // ---- Performance tests (limits mirror reference test_solver.c:471,:494) ----
 
 void test_performance() {
@@ -292,6 +320,7 @@ int main() {
   test_candidates();
   test_count_solutions();
   test_batch();
+  test_deadline();
   test_performance();
   test_file_io();
   test_format();

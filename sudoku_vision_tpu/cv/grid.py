@@ -364,6 +364,46 @@ def detect_grid_full(
     # mean; show-through ghosts of the overleaf page only ~10-25.
     core = erode(small, 5).astype(jnp.int32)
     dark = core < (box_mean_u8(small, 31).astype(jnp.int32) - 30)
+    # Interior-line gate: a grid line is ink BETWEEN PAPER — both sides
+    # perpendicular to the stroke are bright. A page/card/book edge is a
+    # paper-to-background step (one side dark), yet it yields long lines
+    # in both families and its corners form crossings that can steal the
+    # extreme points when the page doesn't fill the frame. Scale-robust
+    # (unlike any line-count window): judged a few px either side of the
+    # stroke core, whatever the grid pitch.
+    s32 = small.astype(jnp.int32)
+
+    def _side_paper(dy: int, dx: int) -> jnp.ndarray:
+        # Brightest of 3 perpendicular offsets: clears strokes <= ~7 px
+        # thick and tolerates a digit sitting right next to the line.
+        return jnp.maximum(
+            jnp.maximum(_translate2d(s32, 3 * dy, 3 * dx, 0),
+                        _translate2d(s32, 6 * dy, 6 * dx, 0)),
+            _translate2d(s32, 9 * dy, 9 * dx, 0))
+
+    gate_margin = 20
+    side_u, side_d = _side_paper(-1, 0), _side_paper(1, 0)
+    side_l, side_r = _side_paper(0, -1), _side_paper(0, 1)
+    # Symmetry: an ink stroke has PAPER on both sides (near-equal
+    # brightness); a material edge (page-on-desk, page-on-clutter) has
+    # two different surfaces. Asymmetric "lines" are edges, not strokes.
+    sym_ud = jnp.abs(side_u - side_d) < 45
+    sym_lr = jnp.abs(side_l - side_r) < 45
+    gate_h = jnp.logical_and(
+        jnp.minimum(side_u, side_d) > core + gate_margin, sym_ud)
+    gate_v = jnp.logical_and(
+        jnp.minimum(side_l, side_r) > core + gate_margin, sym_lr)
+    # At grid crossings BOTH gates fail locally (the perpendicular line is
+    # ink, not paper); a 9x9 dilation lets a passing pixel a few px along
+    # the stroke vouch for the crossing. Page-edge pixels have no passing
+    # neighbor at all, so the dilation cannot resurrect them.
+    relax = [(4, 4), (4, 4)]
+    gate_h = jax.lax.reduce_window(gate_h, False, jax.lax.bitwise_or,
+                                   (9, 9), (1, 1), relax)
+    gate_v = jax.lax.reduce_window(gate_v, False, jax.lax.bitwise_or,
+                                   (9, 9), (1, 1), relax)
+    lat_h = lat_h * gate_h.astype(lat_h.dtype)
+    lat_v = lat_v * gate_v.astype(lat_v.dtype)
     comp = grid_region_from_lattice(lat_h, lat_v, density_window, dark=dark)
     found_any = jnp.any(comp)
 

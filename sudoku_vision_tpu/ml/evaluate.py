@@ -31,12 +31,17 @@ MODELS = {"v1": DigitCNN, "v3": DigitCNNv3, "v3light": DigitCNNv3Light}
 
 
 def predict_logits(model, variables, images: np.ndarray,
-                   batch_size: int = 512) -> np.ndarray:
-    """Batched inference over raw uint8 cells (N, 28, 28)."""
+                   batch_size: int = 512, use_clahe: bool = True) -> np.ndarray:
+    """Batched inference over raw uint8 cells (N, 28, 28).
+
+    ``use_clahe`` must match how the checkpoint was trained (the same
+    train/inference contract as cv/extract.py — run_v2/serve/video all
+    read it from checkpoint metadata; so does evaluate_checkpoint).
+    """
 
     @jax.jit
     def fwd(x):
-        return model.apply(variables, preprocess_cells_for_model(x))
+        return model.apply(variables, preprocess_cells_for_model(x, use_clahe))
 
     outs = []
     for i in range(0, len(images), batch_size):
@@ -160,7 +165,9 @@ def evaluate_checkpoint(ckpt_name: str, model_name: str, ds: CellDataset,
         raise FileNotFoundError(f"checkpoint {ckpt_name} not found")
     meta = ckpt.load_metadata(ckpt_name)
     t = meta.get("temperature", 1.0)
-    logits = predict_logits(model, variables, ds.images) / t
+    use_clahe = bool(meta.get("use_clahe", True))
+    logits = predict_logits(model, variables, ds.images,
+                            use_clahe=use_clahe) / t
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     preds = probs.argmax(axis=1)
     cm = confusion_matrix(ds.labels, preds)

@@ -1,0 +1,383 @@
+"""Full-scene synthetic sudoku photo generator.
+
+Renders WHOLE sudoku photographs — page, grid, printed digits,
+perspective, lighting, clutter — with exact ground truth (puzzle string,
+solution, grid corner coordinates). This widens the e2e validation set
+beyond the 5 hand-photographed golden images the detection/empty-cell
+thresholds were originally tuned on (reference anchor: the e2e ground
+truth schema with category/difficulty metadata, reference
+tests/e2e_runner.py:193, and the v2 cell-level realism generator,
+reference ml/generate_synthetic_v2.py:128).
+
+Scene recipe:
+  1. puzzle = random valid sudoku (band/stack/row/col/digit permutations
+     of a base solution; cells removed to a target clue count);
+  2. page render: paper texture, 9x9 lattice with thick box lines,
+     printed digits from system fonts;
+  3. composition: page quad perspective-warped onto a cluttered
+     background, category-specific degradation (skew, low light, glare,
+     shadow band, blur, sensor noise).
+
+API:
+  render_scene(rng, size=(H, W), category=...) -> (bgr_u8, truth_dict)
+  generate_e2e_set(out_dir, n, ...) -> ground-truth records list
+
+CLI:
+    python -m sudoku_vision_tpu.ml.generate_scenes --out data/test_e2e \
+        --n 24 [--seed 1] [--size 1512x2016]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFilter, ImageFont
+
+from sudoku_vision_tpu.ml.generate_synthetic import find_available_fonts
+
+CATEGORIES = (
+    "printed_clean",
+    "printed_skew",
+    "low_light",
+    "glare",
+    "shadow",
+    "cluttered",
+    "newsprint",
+)
+
+
+# ---------------------------------------------------------------------------
+# Puzzle generation
+# ---------------------------------------------------------------------------
+
+
+def random_solution(rng: random.Random) -> np.ndarray:
+    """A uniform-ish random completed sudoku grid (9, 9) int.
+
+    Base pattern grid[r, c] = (3*(r%3) + r//3 + c) % 9 + 1 is a valid
+    solution; randomize by digit relabeling + row/col permutations within
+    bands + band/stack permutations + optional transpose.
+    """
+    base = np.array([[(3 * (r % 3) + r // 3 + c) % 9 + 1 for c in range(9)]
+                     for r in range(9)])
+    digits = np.array([0] + rng.sample(range(1, 10), 9))
+    g = digits[base]
+    band = rng.sample(range(3), 3)
+    rows = [b * 3 + r for b in band for r in rng.sample(range(3), 3)]
+    stack = rng.sample(range(3), 3)
+    cols = [s * 3 + c for s in stack for c in rng.sample(range(3), 3)]
+    g = g[np.ix_(rows, cols)]
+    if rng.random() < 0.5:
+        g = g.T.copy()
+    return g
+
+
+def make_puzzle(rng: random.Random, clues: int = 32):
+    """(puzzle, solution): remove cells from a random solution down to
+    ~`clues` givens. Always solvable (the source solution completes it)."""
+    solution = random_solution(rng)
+    puzzle = solution.copy()
+    order = rng.sample(range(81), 81)
+    removed = 0
+    for idx in order:
+        if 81 - removed <= clues:
+            break
+        r, c = divmod(idx, 9)
+        puzzle[r, c] = 0
+        removed += 1
+    return puzzle, solution
+
+
+# ---------------------------------------------------------------------------
+# Page rendering
+# ---------------------------------------------------------------------------
+
+
+def _paper(rng: random.Random, h: int, w: int, newsprint: bool) -> np.ndarray:
+    npr = np.random.default_rng(rng.getrandbits(32))
+    base = rng.uniform(200, 245) if not newsprint else rng.uniform(175, 210)
+    img = np.full((h, w), base, np.float32)
+    xs = np.linspace(-0.5, 0.5, w)
+    ys = np.linspace(-0.5, 0.5, h)
+    img += npr.uniform(-18, 18) * xs[None, :] + npr.uniform(-18, 18) * ys[:, None]
+    img += npr.normal(0, 5 if newsprint else 2.5, (h, w))
+    return np.clip(img, 0, 255)
+
+
+def render_page(puzzle: np.ndarray, rng: random.Random, grid_px: int = 360,
+                newsprint: bool = False):
+    """Render the puzzle page. Returns (page float (H, W), corners (4, 2)
+    of the grid outline in page coords, tl/tr/br/bl order)."""
+    margin = int(grid_px * rng.uniform(0.10, 0.25))
+    page_w = grid_px + 2 * margin
+    page_h = grid_px + 2 * margin + int(grid_px * rng.uniform(0, 0.3))
+    page = _paper(rng, page_h, page_w, newsprint)
+    ox = margin
+    oy = margin
+    pil = Image.fromarray(np.clip(page, 0, 255).astype(np.uint8))
+    draw = ImageDraw.Draw(pil)
+    cell = grid_px / 9.0
+    ink = rng.uniform(20, 70)
+    thin = max(1, round(grid_px / 360))
+    thick = thin * 2 + (1 if grid_px > 500 else 0)
+    for i in range(10):
+        wdt = thick if i % 3 == 0 else thin
+        x = ox + round(i * cell)
+        y = oy + round(i * cell)
+        draw.line([(x, oy), (x, oy + grid_px)], fill=int(ink), width=wdt)
+        draw.line([(ox, y), (ox + grid_px, y)], fill=int(ink), width=wdt)
+    fonts = find_available_fonts() or [None]
+    font_path = rng.choice(fonts)
+    fsize = int(cell * rng.uniform(0.55, 0.72))
+    try:
+        font = ImageFont.truetype(font_path, fsize)
+    except (OSError, TypeError):
+        font = ImageFont.load_default()
+    for r in range(9):
+        for c in range(9):
+            d = int(puzzle[r, c])
+            if d == 0:
+                continue
+            cx = ox + (c + 0.5) * cell
+            cy = oy + (r + 0.5) * cell
+            bbox = draw.textbbox((0, 0), str(d), font=font)
+            tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+            jx = rng.uniform(-0.05, 0.05) * cell
+            jy = rng.uniform(-0.05, 0.05) * cell
+            draw.text((cx - tw / 2 - bbox[0] + jx, cy - th / 2 - bbox[1] + jy),
+                      str(d), fill=int(ink * rng.uniform(0.8, 1.2)), font=font)
+    corners = np.array([[ox, oy], [ox + grid_px, oy],
+                        [ox + grid_px, oy + grid_px], [ox, oy + grid_px]],
+                       np.float64)
+    return np.asarray(pil, np.float32), corners
+
+
+# ---------------------------------------------------------------------------
+# Scene composition
+# ---------------------------------------------------------------------------
+
+
+def _persp_coeffs(src, dst):
+    """PIL perspective coefficients mapping OUTPUT coords -> INPUT coords.
+
+    PIL's Image.transform(PERSPECTIVE) samples input at (ax+by+c)/(gx+hy+1).
+    To paste src-quad -> dst-quad we need the inverse map (dst -> src).
+    """
+    a = []
+    b = []
+    for (x, y), (u, v) in zip(dst, src):
+        a.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+        a.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+        b.extend([u, v])
+    return np.linalg.solve(np.asarray(a, np.float64), np.asarray(b, np.float64))
+
+
+def _background(rng: random.Random, h: int, w: int,
+                cluttered: bool) -> np.ndarray:
+    """Desk-like BGR background with optional clutter rectangles."""
+    npr = np.random.default_rng(rng.getrandbits(32))
+    tone = np.array([rng.uniform(40, 120) for _ in range(3)], np.float32)
+    img = np.empty((h, w, 3), np.float32)
+    xs = np.linspace(-0.5, 0.5, w, dtype=np.float32)
+    ys = np.linspace(-0.5, 0.5, h, dtype=np.float32)
+    grad = (npr.uniform(-25, 25) * xs[None, :]
+            + npr.uniform(-25, 25) * ys[:, None])
+    for ch in range(3):
+        img[..., ch] = tone[ch] + grad
+    img += npr.normal(0, 4, (h, w, 1))
+    n_items = rng.randint(3, 9) if cluttered else rng.randint(0, 2)
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    draw = ImageDraw.Draw(pil)
+    for _ in range(n_items):
+        x0 = rng.randint(0, w - 2)
+        y0 = rng.randint(0, h - 2)
+        x1 = min(w - 1, x0 + rng.randint(w // 20, w // 3))
+        y1 = min(h - 1, y0 + rng.randint(h // 20, h // 3))
+        col = tuple(int(np.clip(t + rng.uniform(-60, 90), 0, 255))
+                    for t in tone)
+        if rng.random() < 0.5:
+            draw.rectangle([x0, y0, x1, y1], fill=col)
+        else:
+            draw.ellipse([x0, y0, x1, y1], fill=col)
+    return np.asarray(pil, np.float32)
+
+
+def render_scene(rng, size=(1512, 2016), category: str | None = None,
+                 clues: int | None = None, grid_px: int | None = None):
+    """One synthetic sudoku photograph.
+
+    rng: random.Random or numpy Generator seed source.
+    size: (H, W) of the output image.
+    Returns (bgr uint8 (H, W, 3), truth dict with keys puzzle, solution,
+    corners [tl,tr,br,bl in image coords], category, difficulty, clues).
+    """
+    if not isinstance(rng, random.Random):
+        rng = random.Random(int(np.random.default_rng(
+            rng if isinstance(rng, (int, np.integer)) else
+            rng.integers(0, 2**31)).integers(0, 2**31)))
+    h, w = size
+    category = category or rng.choice(CATEGORIES)
+    n_clues = clues or rng.randint(26, 38)
+    difficulty = ("easy" if n_clues >= 34 else
+                  "medium" if n_clues >= 29 else "hard")
+    puzzle, solution = make_puzzle(rng, n_clues)
+
+    # Page: render large enough that warped grid lines stay >= 1 px.
+    short = min(h, w)
+    gpx = grid_px or int(short * rng.uniform(0.55, 0.72))
+    page, page_corners = render_page(
+        puzzle, rng, grid_px=gpx, newsprint=(category == "newsprint"))
+    ph, pw = page.shape
+
+    # Target quad for the PAGE in the scene: centered, mild perspective.
+    max_tilt = {"printed_skew": 0.18}.get(category, 0.08)
+    angle = rng.uniform(-30, 30) if category == "printed_skew" \
+        else rng.uniform(-8, 8)
+    theta = np.deg2rad(angle)
+    rot = np.array([[np.cos(theta), -np.sin(theta)],
+                    [np.sin(theta), np.cos(theta)]])
+    scale = min((w * 0.86) / pw, (h * 0.86) / ph)
+    base = np.array([[-pw / 2, -ph / 2], [pw / 2, -ph / 2],
+                     [pw / 2, ph / 2], [-pw / 2, ph / 2]]) * scale
+    quad = base @ rot.T
+    # Perspective jitter per corner.
+    jit = np.array([[rng.uniform(-max_tilt, max_tilt) * pw * scale,
+                     rng.uniform(-max_tilt, max_tilt) * ph * scale]
+                    for _ in range(4)])
+    quad = quad + jit + np.array([w / 2, h / 2])
+    quad[:, 0] = np.clip(quad[:, 0], 4, w - 5)
+    quad[:, 1] = np.clip(quad[:, 1], 4, h - 5)
+
+    src_quad = [(0, 0), (pw, 0), (pw, ph), (0, ph)]
+    coeffs = _persp_coeffs(src_quad, [tuple(p) for p in quad])
+
+    # Warp page + its alpha mask into the scene.
+    page_pil = Image.fromarray(np.clip(page, 0, 255).astype(np.uint8))
+    mask_pil = Image.new("L", (pw, ph), 255)
+    warped = page_pil.transform((w, h), Image.PERSPECTIVE, tuple(coeffs),
+                                resample=Image.BILINEAR, fillcolor=0)
+    warped_mask = mask_pil.transform((w, h), Image.PERSPECTIVE, tuple(coeffs),
+                                     resample=Image.BILINEAR, fillcolor=0)
+    bg = _background(rng, h, w, cluttered=(category == "cluttered"))
+    alpha = np.asarray(warped_mask, np.float32)[..., None] / 255.0
+    gray_page = np.asarray(warped, np.float32)
+    # Slight warm paper tint (BGR).
+    tint = np.array([rng.uniform(0.90, 1.0), rng.uniform(0.95, 1.0), 1.0],
+                    np.float32)
+    scene = bg * (1 - alpha) + gray_page[..., None] * tint * alpha
+
+    # Grid corners in scene coords: forward map page->scene. coeffs give
+    # scene->page; invert the homography for page->scene.
+    m = np.array([[coeffs[0], coeffs[1], coeffs[2]],
+                  [coeffs[3], coeffs[4], coeffs[5]],
+                  [coeffs[6], coeffs[7], 1.0]])
+    m_fwd = np.linalg.inv(m)
+    pts = np.concatenate([page_corners, np.ones((4, 1))], axis=1) @ m_fwd.T
+    corners = pts[:, :2] / pts[:, 2:3]
+
+    # Category-specific photometrics.
+    npr = np.random.default_rng(rng.getrandbits(32))
+    if category == "low_light":
+        scene = scene * rng.uniform(0.35, 0.55) + npr.normal(
+            0, 6, scene.shape)
+    elif category == "glare":
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        cx = rng.uniform(corners[:, 0].min(), corners[:, 0].max())
+        cy = rng.uniform(corners[:, 1].min(), corners[:, 1].max())
+        r2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / (short * rng.uniform(
+            0.08, 0.18)) ** 2
+        scene = scene + np.exp(-r2)[..., None] * rng.uniform(60, 120)
+    elif category == "shadow":
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        nx, ny = np.cos(theta + rng.uniform(0, 3.14)), np.sin(
+            theta + rng.uniform(0, 3.14))
+        d = (xx - w / 2) * nx + (yy - h / 2) * ny
+        soft = 1.0 / (1.0 + np.exp(-d / (short * 0.03)))
+        scene = scene * (rng.uniform(0.45, 0.7) + (1 - rng.uniform(
+            0.45, 0.7)) * soft)[..., None]
+    # Global blur + sensor noise.
+    pil = Image.fromarray(np.clip(scene, 0, 255).astype(np.uint8))
+    if rng.random() < 0.6:
+        pil = pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 0.9)))
+    out = np.asarray(pil, np.float32)
+    out = np.clip(out + npr.normal(0, rng.uniform(1, 4), out.shape), 0, 255)
+
+    truth = {
+        "puzzle": "".join(str(d) for d in puzzle.reshape(-1)),
+        "solution": "".join(str(d) for d in solution.reshape(-1)),
+        "corners": corners.round(2).tolist(),
+        "category": category,
+        "difficulty": difficulty,
+        "clues": int((puzzle > 0).sum()),
+    }
+    return out.astype(np.uint8), truth
+
+
+# ---------------------------------------------------------------------------
+# E2E set generation
+# ---------------------------------------------------------------------------
+
+
+def generate_e2e_set(out_dir: str, n: int = 24, seed: int = 1,
+                     size=(1512, 2016)) -> list[dict]:
+    """Write n scene JPEGs + per-case ground truth records.
+
+    Cases cycle through CATEGORIES so every category is represented
+    (reference e2e schema: tests/e2e_runner.py:193 category breakdown).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rng = random.Random(seed)
+    records = []
+    for i in range(n):
+        category = CATEGORIES[i % len(CATEGORIES)]
+        img, truth = render_scene(rng, size=size, category=category)
+        name = f"scene_{i:03d}_{category}.jpg"
+        path = os.path.join(out_dir, name)
+        Image.fromarray(img[..., ::-1]).save(path, quality=92)
+        records.append({
+            "image_path": path,
+            "puzzle": truth["puzzle"],
+            "solution": truth["solution"],
+            "metadata": {
+                "category": truth["category"],
+                "difficulty": truth["difficulty"],
+                "clues": truth["clues"],
+                "synthetic": True,
+                "corners": truth["corners"],
+            },
+        })
+    return records
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="full-scene sudoku generator")
+    p.add_argument("--out", default="data/test_e2e/scenes")
+    p.add_argument("--n", type=int, default=24)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--size", default="1512x2016",
+                   help="HxW of generated photos")
+    p.add_argument("--ground-truth", default=None,
+                   help="merge records into this ground_truth.json")
+    args = p.parse_args(argv)
+    h, w = (int(t) for t in args.size.split("x"))
+    records = generate_e2e_set(args.out, args.n, args.seed, (h, w))
+    if args.ground_truth:
+        gt = {"test_cases": []}
+        if os.path.exists(args.ground_truth):
+            with open(args.ground_truth) as f:
+                gt = json.load(f)
+        known = {c["image_path"] for c in gt["test_cases"]}
+        gt["test_cases"].extend(
+            r for r in records if r["image_path"] not in known)
+        with open(args.ground_truth, "w") as f:
+            json.dump(gt, f, indent=1)
+    print(json.dumps({"written": len(records), "out": args.out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

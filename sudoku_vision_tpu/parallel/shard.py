@@ -1,0 +1,63 @@
+"""Multi-chip perception: the fused perceive graph sharded over a mesh.
+
+This is the serving-side half of the "distributed backend" slot the
+reference lacks (SURVEY.md §2.10/§7.6): frames are sharded along the
+"data" mesh axis, model params are replicated (or tensor-parallel over
+"model" via mesh.py's rules), and XLA partitions the whole
+frame -> 81-digit graph so each chip perceives its own shard — the only
+cross-chip traffic is at the program edges. Scaling recipe per the
+public scaling-book: pick a mesh, annotate shardings with NamedSharding,
+let XLA insert collectives over ICI.
+
+Used by: bench.py --multichip, serve/server.py (when >1 device is
+visible), __graft_entry__.dryrun_multichip, and the virtual-8-device
+pytest (tests/test_multichip.py) asserting sharded == single-device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sudoku_vision_tpu.parallel.mesh import make_mesh
+from sudoku_vision_tpu.pipeline.graph import perceive
+
+
+def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
+                        temperature=None, use_clahe: bool = True):
+    """Build (fn, mesh): fn maps (N, H, W, 3) uint8 -> perception outputs,
+    with frames sharded over the mesh's "data" axis.
+
+    N must be divisible by the data-axis size (serving pads its batch
+    buckets to guarantee this). Params are replicated; outputs come back
+    data-sharded and fetch as one host array.
+    """
+    mesh = mesh or make_mesh()
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, replicated)
+    t = None if temperature is None else jnp.float32(temperature)
+
+    @partial(
+        jax.jit,
+        in_shardings=(data_sharding,),
+        out_shardings=(data_sharding,) * 5,
+    )
+    def fn(imgs):
+        out = jax.vmap(
+            lambda im: perceive(im, model, variables,
+                                temperature=t, use_clahe=use_clahe)
+        )(imgs)
+        return (out.digits, out.confidence, out.probs, out.corners,
+                out.grid_found)
+
+    return fn, mesh
+
+
+def device_put_frames(frames, mesh: Mesh):
+    """Place a host frame batch sharded along the data axis."""
+    return jax.device_put(
+        frames, NamedSharding(mesh, P("data")))

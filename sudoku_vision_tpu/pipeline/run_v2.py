@@ -200,7 +200,7 @@ def run_pipeline(
     solved = None
     t5 = time.perf_counter()
     if status is None:
-        sres = native_solver.solve(work)
+        sres = native_solver.solve(work, timeout_s=config.solver_timeout_s)
         if sres.solved:
             status = "solved"
             solved = sres.grid

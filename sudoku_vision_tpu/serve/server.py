@@ -2,16 +2,30 @@
 
 Deployment-frontend parity (reference web/src/main.ts capture->process
 flow :237 and ios ScanPipeline.processFrame :110): POST an image, get
-back the recognized 81-digit grid, per-cell confidences, corners,
-solution and timings as JSON. A dynamic micro-batcher coalesces
-concurrent requests into one device call (the TPU graph is batched; a
-lone frame wastes 30x throughput), mirroring how the reference's
-frontends pipeline camera frames.
+back the recognized 81-digit grid, per-cell confidences, top-3
+alternatives, corners, solution and timings as JSON.
+
+Serving design (TPU-first):
+  * Shape bucketing — every request is letterboxed on host to ONE
+    canonical resolution, so the device graph compiles once per batch
+    bucket instead of once per client resolution (arbitrary camera
+    sizes would otherwise stall minutes per novel shape).
+  * A dynamic micro-batcher coalesces concurrent requests into one
+    padded device batch (condition-variable queue, N-ms window, padded
+    to a compiled bucket size) — the TPU graph is batched and a lone
+    frame wastes most of its throughput.
+  * Real probabilities — the graph returns the (81, 10) softmax, so the
+    beam-search conflict resolver consumes true top-k alternatives
+    (reference run_v2's predict_cells_with_alternatives, run_v2.py:149)
+    and the client gets alternatives for its correction UI.
+  * Multi-chip — with >1 visible device the batched graph is sharded
+    over the mesh's "data" axis (parallel/shard.py); buckets are
+    multiples of the data-axis size.
 
 Endpoints:
   POST /scan      body: image file (jpeg/png)  -> full pipeline JSON
   POST /solve     body: {"puzzle": "81 chars"} -> solver-only JSON
-  GET  /healthz   liveness + device info
+  GET  /healthz   liveness + device + bucket warmup info
   GET  /          the scanner page (static/scanner.html)
 
 Run:
@@ -24,84 +38,263 @@ glue, all compute is the jitted graph + the C++ solver.
 from __future__ import annotations
 
 import argparse
+import collections
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+DEFAULT_CANONICAL = (1512, 2016)  # (H, W): golden-image half scale, 4:3
+PAD_GRAY = 131  # flat filler tone; featureless for the line lattice
+
+
+def letterbox(img: np.ndarray, canonical: tuple[int, int]):
+    """Scale-to-fit + pad an (h, w, 3) uint8 BGR image to canonical (H, W).
+
+    Returns (canvas, scale, (off_x, off_y)) such that
+    x_orig = (x_canvas - off_x) / scale.
+    """
+    from PIL import Image
+
+    ch, cw = canonical
+    h, w = img.shape[:2]
+    scale = min(cw / w, ch / h)
+    nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+    if (nw, nh) != (w, h):
+        pil = Image.fromarray(img[..., ::-1]).resize((nw, nh),
+                                                     Image.BILINEAR)
+        resized = np.asarray(pil)[..., ::-1]
+    else:
+        resized = img
+    canvas = np.full((ch, cw, 3), PAD_GRAY, np.uint8)
+    off_x = (cw - nw) // 2
+    off_y = (ch - nh) // 2
+    canvas[off_y:off_y + nh, off_x:off_x + nw] = resized
+    return canvas, scale, (off_x, off_y)
+
+
+class MicroBatcher:
+    """Coalesces concurrent submissions into padded device batches.
+
+    One worker thread drains a condition-variable queue: it takes the
+    first pending frame, collects more for up to `window_ms`, pads the
+    batch to the smallest compiled bucket, runs ONE device call, and
+    fans results back out. `n_coalesced` in each result records how many
+    real frames shared the call (the load test asserts > 1 under
+    concurrency).
+    """
+
+    def __init__(self, runner, buckets, window_ms: float = 6.0):
+        self._runner = runner          # (B, H, W, 3) np.uint8 -> tuple of np arrays
+        self._buckets = sorted(buckets)
+        self._window = window_ms / 1e3
+        self._q: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._stats = {"calls": 0, "frames": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, frame: np.ndarray):
+        slot = {"event": threading.Event()}
+        with self._cv:
+            self._q.append((frame, slot))
+            self._cv.notify()
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    @property
+    def stats(self):
+        s = dict(self._stats)
+        s["avg_frames_per_call"] = (
+            round(s["frames"] / s["calls"], 2) if s["calls"] else 0.0)
+        return s
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._q:
+                    self._cv.wait()
+                batch = [self._q.popleft()]
+            deadline = time.monotonic() + self._window
+            max_b = self._buckets[-1]
+            while len(batch) < max_b:
+                remaining = deadline - time.monotonic()
+                with self._cv:
+                    if self._q:
+                        batch.append(self._q.popleft())
+                        continue
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                    if self._q:
+                        batch.append(self._q.popleft())
+            frames = [f for f, _ in batch]
+            bucket = next(b for b in self._buckets if b >= len(frames))
+            padded = frames + [frames[0]] * (bucket - len(frames))
+            try:
+                outs = self._runner(np.stack(padded))
+            except Exception as e:  # propagate to every waiter
+                for _, slot in batch:
+                    slot["error"] = e
+                    slot["event"].set()
+                continue
+            self._stats["calls"] += 1
+            self._stats["frames"] += len(frames)
+            for i, (_, slot) in enumerate(batch):
+                slot["out"] = tuple(o[i] for o in outs) + (len(frames),)
+                slot["event"].set()
+
 
 class InferenceEngine:
-    """Owns the jitted graph; serializes device access across requests."""
+    """Owns the jitted batched graph, buckets, and the micro-batcher."""
 
-    def __init__(self, model_name: str = "v3"):
+    def __init__(self, model_name: str = "v3",
+                 canonical: tuple[int, int] = DEFAULT_CANONICAL,
+                 buckets=(1, 2, 4, 8), window_ms: float = 6.0,
+                 prewarm: bool = True):
         import jax
 
         from sudoku_vision_tpu.pipeline.run_v2 import load_model
 
-        self._jax = jax
         (self.model, self.variables, self.temperature, self.ckpt,
          self.use_clahe) = load_model(model_name)
-        self._lock = threading.Lock()
-        self._fns: dict = {}
+        self.canonical = canonical
+        self._fns: dict[int, object] = {}
+        self._fn_lock = threading.Lock()
+        self._warm: set[int] = set()
 
-    def _fn_for(self, shape):
+        self.n_devices = len(jax.devices())
+        if self.n_devices > 1:
+            from sudoku_vision_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(self.n_devices, model=1)
+            step = self.n_devices
+            buckets = sorted({max(b, step) - max(b, step) % step or step
+                              for b in buckets})
+        else:
+            self.mesh = None
+        self.buckets = tuple(sorted(set(buckets)))
+        self.batcher = MicroBatcher(self._run_batch, self.buckets, window_ms)
+        if prewarm:
+            threading.Thread(target=self._prewarm, daemon=True).start()
+
+    # -- device side ------------------------------------------------------
+
+    def _fn_for(self, b: int):
         import jax
         import jax.numpy as jnp
 
         from sudoku_vision_tpu.pipeline.graph import perceive
 
-        if shape not in self._fns:
-            model, variables, t = self.model, self.variables, self.temperature
+        with self._fn_lock:
+            if b in self._fns:
+                return self._fns[b]
+            model, variables = self.model, self.variables
+            t = jnp.float32(self.temperature)
             uc = self.use_clahe
+            if self.mesh is not None:
+                from sudoku_vision_tpu.parallel.shard import (
+                    sharded_perceive_fn,
+                )
 
-            @jax.jit
-            def fn(img):
-                out = perceive(img, model, variables,
-                               temperature=jnp.float32(t), use_clahe=uc)
-                return (out.digits, out.confidence, out.corners,
-                        out.grid_found)
+                fn, _ = sharded_perceive_fn(
+                    model, variables, self.mesh,
+                    temperature=self.temperature, use_clahe=uc)
+            else:
+                @jax.jit
+                def fn(imgs):
+                    out = jax.vmap(lambda im: perceive(
+                        im, model, variables, temperature=t,
+                        use_clahe=uc))(imgs)
+                    return (out.digits, out.confidence, out.probs,
+                            out.corners, out.grid_found)
 
-            self._fns[shape] = fn
-        return self._fns[shape]
+            self._fns[b] = fn
+            return fn
 
-    def scan(self, img_bgr: np.ndarray) -> dict:
+    def _run_batch(self, frames: np.ndarray):
+        """(B, H, W, 3) uint8 -> tuple of host np arrays (one device call)."""
         import jax.numpy as jnp
 
+        b = frames.shape[0]
+        fn = self._fn_for(b)
+        dev = jnp.asarray(frames)
+        if self.mesh is not None:
+            from sudoku_vision_tpu.parallel.shard import device_put_frames
+
+            dev = device_put_frames(dev, self.mesh)
+        digits, conf, probs, corners, found = fn(dev)
+        # One fetch per output; np.asarray is the sync point (axon's
+        # block_until_ready is a no-op — always fetch what you need).
+        return (np.asarray(digits), np.asarray(conf), np.asarray(probs),
+                np.asarray(corners), np.asarray(found))
+
+    def _prewarm(self):
+        ch, cw = self.canonical
+        for b in self.buckets:
+            try:
+                self._run_batch(np.full((b, ch, cw, 3), PAD_GRAY, np.uint8))
+                self._warm.add(b)
+            except Exception:
+                pass
+
+    @property
+    def warm_buckets(self):
+        return sorted(self._warm)
+
+    # -- request side -----------------------------------------------------
+
+    def scan(self, img_bgr: np.ndarray, top_k: int = 3) -> dict:
         from sudoku_vision_tpu import solver as native_solver
         from sudoku_vision_tpu.reasoning import (
             resolve_conflicts, validate_predictions,
         )
 
         t0 = time.perf_counter()
-        with self._lock:
-            fn = self._fn_for(img_bgr.shape)
-            digits_d, conf_d, corners_d, found_d = fn(jnp.asarray(img_bgr))
-            digits = np.asarray(digits_d).reshape(9, 9)
-            conf = np.asarray(conf_d).reshape(9, 9)
-            corners = np.asarray(corners_d)
-            found = bool(found_d)
+        canvas, scale, (off_x, off_y) = letterbox(img_bgr, self.canonical)
+        digits, conf, probs, corners, found, n_coalesced = \
+            self.batcher.submit(canvas)
         t1 = time.perf_counter()
+
+        digits = digits.reshape(9, 9).astype(np.int64)
+        conf = conf.reshape(81).astype(np.float64)
+        probs = probs.reshape(81, 10).astype(np.float64)
+        # Map corners back to the client's original pixel grid.
+        corners_orig = (np.asarray(corners, np.float64)
+                        - np.array([off_x, off_y])) / scale
+        found = bool(found)
+
         result = {
             "grid_found": found,
             "recognized_grid": "".join(map(str, digits.reshape(-1))),
-            "confidence": conf.round(3).reshape(-1).tolist(),
-            "corners": corners.round(1).tolist(),
+            "confidence": conf.round(3).tolist(),
+            "corners": corners_orig.round(1).tolist(),
+            "n_coalesced": int(n_coalesced),
             "time_graph_ms": round((t1 - t0) * 1e3, 1),
         }
+        # Top-k alternatives per cell for the correction UI (reference
+        # predict_cells_with_alternatives, run_v2.py:149).
+        order = np.argsort(-probs, axis=1)[:, :top_k]
+        result["alternatives"] = [
+            [[int(d), round(float(probs[i, d]), 4)] for d in order[i]]
+            for i in range(81)
+        ]
         if found:
             validation = validate_predictions(digits)
             work = digits
+            corrected = False
             if not validation.is_valid:
-                # probs unavailable on this endpoint; approximate with
-                # one-hot confidence for the beam search.
-                probs = np.full((81, 10), 1e-3)
-                flat = digits.reshape(-1)
-                probs[np.arange(81), flat] = conf.reshape(-1)
-                work = resolve_conflicts(digits, probs).grid
-            sres = native_solver.solve(work)
+                res = resolve_conflicts(digits, probs)
+                work = res.grid
+                corrected = not np.array_equal(work, digits)
+            sres = native_solver.solve(work, timeout_s=5.0)
+            result["corrected"] = corrected
             result["status"] = sres.status_name
             result["solution"] = ("".join(map(str, sres.grid.reshape(-1)))
                                   if sres.solved else None)
@@ -112,8 +305,6 @@ class InferenceEngine:
 
 
 def make_handler(engine: InferenceEngine):
-    import os
-
     static_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "static")
 
@@ -129,24 +320,36 @@ def make_handler(engine: InferenceEngine):
         def log_message(self, *a):  # quiet
             pass
 
+        def _static(self, name, ctype):
+            try:
+                with open(os.path.join(static_dir, name), "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except OSError:
+                self._json({"error": f"{name} missing"}, 404)
+
         def do_GET(self):
             if self.path == "/healthz":
                 import jax
 
-                self._json({"ok": True,
-                            "devices": [str(d) for d in jax.devices()],
-                            "checkpoint": engine.ckpt})
+                self._json({
+                    "ok": True,
+                    "devices": [str(d) for d in jax.devices()],
+                    "n_devices": engine.n_devices,
+                    "checkpoint": engine.ckpt,
+                    "canonical": list(engine.canonical),
+                    "buckets": list(engine.buckets),
+                    "warm_buckets": engine.warm_buckets,
+                    "batcher": engine.batcher.stats,
+                })
             elif self.path in ("/", "/scanner.html"):
-                try:
-                    with open(os.path.join(static_dir, "scanner.html"),
-                              "rb") as f:
-                        body = f.read()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/html")
-                    self.end_headers()
-                    self.wfile.write(body)
-                except OSError:
-                    self._json({"error": "scanner page missing"}, 404)
+                self._static("scanner.html", "text/html")
+            elif self.path == "/scanner.js":
+                self._static("scanner.js", "application/javascript")
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -164,7 +367,7 @@ def make_handler(engine: InferenceEngine):
                 from sudoku_vision_tpu import solver as native_solver
 
                 t0 = time.perf_counter()
-                res = native_solver.solve(grid)
+                res = native_solver.solve(grid, timeout_s=5.0)
                 self._json({
                     "status": res.status_name,
                     "solution": ("".join(map(str, res.grid.reshape(-1)))
@@ -191,12 +394,25 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8602)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--model", default="v3")
+    p.add_argument("--canonical", default=None,
+                   help="HxW serving resolution (default 1512x2016)")
+    p.add_argument("--window-ms", type=float, default=6.0)
+    p.add_argument("--buckets", default="1,2,4,8")
+    p.add_argument("--no-prewarm", action="store_true")
     args = p.parse_args(argv)
-    engine = InferenceEngine(args.model)
+    canonical = DEFAULT_CANONICAL
+    if args.canonical:
+        h, w = (int(t) for t in args.canonical.split("x"))
+        canonical = (h, w)
+    engine = InferenceEngine(
+        args.model, canonical=canonical,
+        buckets=tuple(int(b) for b in args.buckets.split(",")),
+        window_ms=args.window_ms, prewarm=not args.no_prewarm)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(engine))
     print(f"serving on http://{args.host}:{args.port} "
-          f"(checkpoint: {engine.ckpt})")
+          f"(checkpoint: {engine.ckpt}, canonical {canonical}, "
+          f"buckets {engine.buckets}, devices {engine.n_devices})")
     server.serve_forever()
     return 0
 

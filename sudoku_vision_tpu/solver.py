@@ -26,12 +26,14 @@ SV_OK = 0
 SV_INVALID = 1
 SV_UNSOLVABLE = 2
 SV_IOERROR = 3
+SV_TIMEOUT = 4
 
 STATUS_NAMES = {
     SV_OK: "solved",
     SV_INVALID: "invalid",
     SV_UNSOLVABLE: "unsolvable",
     SV_IOERROR: "io_error",
+    SV_TIMEOUT: "timeout",
 }
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,24 +50,39 @@ def _try_load_library() -> Optional[ctypes.CDLL]:
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.isdir(_SOLVER_DIR):
+    def _build() -> bool:
+        if not os.path.isdir(_SOLVER_DIR):
+            return False
         try:
             subprocess.run(
                 ["make", "lib"], cwd=_SOLVER_DIR, check=True,
                 capture_output=True, timeout=120,
             )
+            return True
         except (OSError, subprocess.SubprocessError):
-            return None
-    if not os.path.exists(_LIB_PATH):
+            return False
+
+    if not os.path.exists(_LIB_PATH) and not _build():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "sv_solve_deadline"):
+        # Stale library from before the deadline API; rebuild in place.
+        del lib
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
     i32p = ctypes.POINTER(ctypes.c_int32)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     lib.sv_solve.argtypes = [i32p]
     lib.sv_solve.restype = ctypes.c_int
+    lib.sv_solve_deadline.argtypes = [i32p, ctypes.c_double]
+    lib.sv_solve_deadline.restype = ctypes.c_int
     lib.sv_validate.argtypes = [i32p]
     lib.sv_validate.restype = ctypes.c_int
     lib.sv_candidates.argtypes = [i32p, u16p]
@@ -116,18 +133,26 @@ def _py_init(grid: np.ndarray):
     return rows, cols, boxes
 
 
-def _py_solve(grid: np.ndarray) -> int:
+def _py_solve(grid: np.ndarray, timeout_s: float = 0.0) -> int:
+    import time as _time
+
     st = _py_init(grid)
     if st is None:
         return SV_INVALID
     rows, cols, boxes = st
     cells = [i for i in range(81) if grid[i] == 0]
+    deadline = _time.monotonic() + timeout_s if timeout_s > 0 else None
+    timed_out = False
 
     def cands(i: int) -> int:
         r, c = divmod(i, 9)
         return ~(rows[r] | cols[c] | boxes[(r // 3) * 3 + c // 3]) & _ALL
 
     def dfs() -> bool:
+        nonlocal timed_out
+        if deadline is not None and _time.monotonic() >= deadline:
+            timed_out = True
+            return False
         # propagate naked singles
         placed = []
         progress = True
@@ -178,7 +203,9 @@ def _py_solve(grid: np.ndarray) -> int:
         boxes[(r // 3) * 3 + c // 3] &= ~bit
         cells.append(i)
 
-    return SV_OK if dfs() else SV_UNSOLVABLE
+    if dfs():
+        return SV_OK
+    return SV_TIMEOUT if timed_out else SV_UNSOLVABLE
 
 
 # ---------------------------------------------------------------------------
@@ -200,14 +227,21 @@ class SolveResult:
         return STATUS_NAMES.get(self.status, "unknown")
 
 
-def solve(grid) -> SolveResult:
-    """Solve one 9x9 puzzle (0 = empty). Never mutates the input."""
+def solve(grid, timeout_s: Optional[float] = None) -> SolveResult:
+    """Solve one 9x9 puzzle (0 = empty). Never mutates the input.
+
+    timeout_s bounds the search wall-clock (reference run_v2.py:230 killed
+    the solver subprocess at 5 s; here the deadline aborts inside the
+    search and yields status "timeout").
+    """
     g = _as_grid(grid).copy()
     lib = _try_load_library()
+    deadline = float(timeout_s or 0.0)
     if lib is not None:
-        st = lib.sv_solve(g.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        st = lib.sv_solve_deadline(
+            g.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), deadline)
     else:
-        st = _py_solve(g)
+        st = _py_solve(g, deadline)
     if st != SV_OK:
         g = _as_grid(grid).copy()
     return SolveResult(status=int(st), grid=g.reshape(9, 9))

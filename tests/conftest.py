@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize imports jax at interpreter start, which pins the
+# platform before this file runs — the env var alone is then too late.
+# jax.config.update works any time before backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

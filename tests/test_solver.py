@@ -141,3 +141,22 @@ def test_python_fallback_matches_native():
 def test_status_names(puzzle, expected):
     res = solver.solve(EASY)
     assert res.status_name == "solved"
+
+
+def test_solve_with_timeout_generous():
+    """A generous deadline must not change results (run_v2 passes 5 s)."""
+    res = solver.solve(EASY, timeout_s=30.0)
+    assert res.solved and np.array_equal(res.grid, EASY_SOLUTION)
+
+
+def test_python_fallback_timeout():
+    """The pure-Python fallback honors the deadline on a search-heavy grid."""
+    g = np.zeros(81, np.int64)  # empty grid: maximal branching
+    st = solver._py_solve(g, timeout_s=1e-9)
+    # Either it timed out, or (implausibly) solved before the first check.
+    assert st in (solver.SV_TIMEOUT, solver.SV_OK)
+    assert st == solver.SV_TIMEOUT  # deadline checked at every dfs entry
+
+
+def test_timeout_status_name():
+    assert solver.STATUS_NAMES[solver.SV_TIMEOUT] == "timeout"
