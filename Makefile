@@ -68,7 +68,7 @@ cv-test:
 
 extract-cells:
 	$(PY) -m sudoku_vision_tpu.tools.extract_cells \
-	    --input /root/reference/data/test_images --output data/cells
+	    --input data/golden --output data/cells
 
 # --- serving + export ---
 serve:

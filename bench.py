@@ -35,7 +35,7 @@ def main() -> int:
     from sudoku_vision_tpu.utils.imageio import load_bgr
 
     batch = int(float((sys.argv[1:] or [32])[0]))
-    paths = sorted(glob.glob("/root/reference/data/test_images/sample_*.jpg"))
+    paths = sorted(glob.glob("/root/repo/data/golden/sample_*.jpg"))
     if not paths:
         print(json.dumps({"metric": "fps", "value": 0,
                           "unit": "fps", "vs_baseline": 0,

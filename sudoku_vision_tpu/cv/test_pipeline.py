@@ -99,7 +99,7 @@ def print_report(results: list[dict]):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="CV-only pipeline validation")
-    p.add_argument("--images", default="/root/reference/data/test_images")
+    p.add_argument("--images", default="data/golden")
     p.add_argument("--debug-out", help="write staged debug dumps here")
     args = p.parse_args(argv)
     paths = sorted(glob.glob(os.path.join(args.images, "*.jpg"))

@@ -27,10 +27,26 @@ from sudoku_vision_tpu.harness.metrics import (
 )
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
 def load_ground_truth(path: str) -> list[dict]:
+    """Load cases; relative image paths resolve against the repo root,
+    then against the ground-truth file's own directory."""
     with open(path) as f:
         data = json.load(f)
-    return data["test_cases"]
+    cases = data["test_cases"]
+    base = os.path.dirname(os.path.abspath(path))
+    for c in cases:
+        p = c["image_path"]
+        if not os.path.isabs(p):
+            for root in (_REPO_ROOT, base):
+                cand = os.path.join(root, p)
+                if os.path.exists(cand):
+                    c["image_path"] = cand
+                    break
+    return cases
 
 
 def parse81(s: str) -> np.ndarray:
@@ -118,6 +134,19 @@ def print_summary(results: list[dict], metrics: PerformanceMetrics):
         nerr = len(d["wrong_cells"]) if d else "-"
         print(f"  {r['image']:<16} {r['status']:<18} cells {acc} "
               f"errors {nerr} solved_ok={r['solved_ok']}")
+    # Per-category breakdown (reference e2e_runner.py:193 schema).
+    by_cat: dict[str, list[dict]] = {}
+    for r in results:
+        by_cat.setdefault(r["category"], []).append(r)
+    if len(by_cat) > 1:
+        print("per category:")
+        for cat, rs in sorted(by_cat.items()):
+            accs = [r["diff"]["cell_accuracy"] for r in rs if r["diff"]]
+            acc = sum(accs) / len(accs) if accs else 0.0
+            det = sum(r["detected"] for r in rs) / len(rs)
+            solved = sum(r["solved_ok"] for r in rs) / len(rs)
+            print(f"  {cat:<16} n={len(rs):<3} detect {det:.0%}  "
+                  f"cells {acc:.3f}  solved {solved:.0%}")
     if metrics.top_confusions:
         print("top confusions (truth->pred:count):",
               ", ".join(f"{t}->{p}:{n}"

@@ -76,9 +76,14 @@ def random_solution(rng: random.Random) -> np.ndarray:
     return g
 
 
-def make_puzzle(rng: random.Random, clues: int = 32):
+def make_puzzle(rng: random.Random, clues: int = 32, unique: bool = True):
     """(puzzle, solution): remove cells from a random solution down to
-    ~`clues` givens. Always solvable (the source solution completes it)."""
+    ~`clues` givens. Always solvable (the source solution completes it);
+    with unique=True, cells whose removal would admit a second solution
+    are kept (checked with the native solver's count_solutions), so the
+    ground-truth solution is THE solution."""
+    from sudoku_vision_tpu import solver as native_solver
+
     solution = random_solution(rng)
     puzzle = solution.copy()
     order = rng.sample(range(81), 81)
@@ -87,7 +92,11 @@ def make_puzzle(rng: random.Random, clues: int = 32):
         if 81 - removed <= clues:
             break
         r, c = divmod(idx, 9)
+        prev = puzzle[r, c]
         puzzle[r, c] = 0
+        if unique and native_solver.count_solutions(puzzle, 2) != 1:
+            puzzle[r, c] = prev
+            continue
         removed += 1
     return puzzle, solution
 

@@ -22,7 +22,7 @@ import numpy as np
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="pipeline benchmark")
     p.add_argument("--images",
-                   default="/root/reference/data/test_images")
+                   default="data/golden")
     p.add_argument("--batch", type=int, default=0,
                    help="also measure batched throughput with this batch")
     p.add_argument("--iters", type=int, default=5)
