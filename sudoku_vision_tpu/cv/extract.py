@@ -45,51 +45,58 @@ def refine_boundaries(
     ds: int,
     warp_size: int = 450,
     window: int = 16,
-    n_profile: int = 150,
+    n_along: int = 64,
+    n_across: int = 11,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Snap the 10 nominal grid-line positions to the detected lattice.
 
     A single homography cannot model page curvature: interior grid lines
     drift several px from their nominal warp positions, leaking grid-line
-    ink into cell crops. This samples the detection lattices (h/v line
-    families at detect scale, from cv.grid.detect_grid_full) on a coarse
-    grid in WARPED space, builds line-mass profiles per axis, and moves
-    each nominal boundary (0, 50, ..., 450) to the local mass centroid
-    within +-window px. Returns ((10,), (10,)) refined y and x boundary
-    positions in warped coordinates. Pure array math; runs inside the
-    fused graph.
+    ink into cell crops. For each nominal boundary (0, 50, ..., 450) this
+    samples the matching detection lattice (h/v line families at detect
+    scale, from cv.grid.detect_grid_full) on a band of ``n_across``
+    offsets spanning +-window px around the line x ``n_along`` positions
+    along it — all in WARPED space — and moves the boundary to the
+    band's mass centroid. Returns ((10,), (10,)) refined y and x
+    boundary positions in warped coordinates.
+
+    TPU note: gathers cost ~10 ns/element regardless of table size
+    (measured; pooling the lattice table does NOT help), so the sample
+    grid is banded around the 10 lines (10*11*64 points/axis) instead of
+    a dense profile (150x150) — 3x fewer gathers for the same centroid.
     """
-    step = warp_size / n_profile
-    coords = (jnp.arange(n_profile, dtype=jnp.float32) + 0.5) * step
-    gx = jnp.broadcast_to(coords[None, :], (n_profile, n_profile))
-    gy = jnp.broadcast_to(coords[:, None], (n_profile, n_profile))
-    m = jnp.asarray(m_inv, jnp.float32)
-    den = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
-    sx = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / den / ds
-    sy = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / den / ds
-
-    def sample(lat, xs, ys):
-        h, w = lat.shape
-        xi = jnp.clip(jnp.rint(xs).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip(jnp.rint(ys).astype(jnp.int32), 0, h - 1)
-        inb = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
-        return jnp.where(inb, jnp.take(
-            lat.reshape(-1).astype(jnp.float32), yi * w + xi), 0.0)
-
-    prof_h = sample(lat_h, sx, sy).mean(axis=1)   # (n,) line mass per y
-    prof_v = sample(lat_v, sx, sy).mean(axis=0)   # (n,) line mass per x
-
     nominal = jnp.arange(10, dtype=jnp.float32) * (warp_size / 9.0)
+    # (10, n_across) offsets spanning +-window around each boundary.
+    offs = jnp.linspace(-window, window, n_across, dtype=jnp.float32)
+    across = nominal[:, None] + offs[None, :]               # (10, A)
+    along = (jnp.arange(n_along, dtype=jnp.float32) + 0.5) \
+        * (warp_size / n_along)                             # (L,)
+    m = jnp.asarray(m_inv, jnp.float32)
 
-    def snap(profile, nom):
-        # Weighted centroid of profile within +-window of each nominal.
-        d = jnp.abs(coords[None, :] - nom[:, None])      # (10, n)
-        w = jnp.where(d <= window, profile[None, :], 0.0)
-        mass = w.sum(axis=1)
-        cent = (w * coords[None, :]).sum(axis=1) / jnp.maximum(mass, 1e-6)
-        return jnp.where(mass > 0.5, cent, nom)
+    def band_centroids(lat, horizontal: bool):
+        # Warp coords: horizontal lines vary y across, x along.
+        if horizontal:
+            gy = across[:, :, None]                         # (10, A, 1)
+            gx = along[None, None, :]                       # (1, 1, L)
+        else:
+            gx = across[:, :, None]
+            gy = along[None, None, :]
+        den = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
+        sx = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / den / ds
+        sy = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / den / ds
+        h, w = lat.shape
+        xi = jnp.clip(jnp.rint(sx).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.rint(sy).astype(jnp.int32), 0, h - 1)
+        inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+        v = jnp.where(inb, jnp.take(
+            lat.reshape(-1).astype(jnp.float32),
+            (yi * w + xi).reshape(-1)).reshape(yi.shape), 0.0)
+        mass_a = v.mean(axis=2)                             # (10, A)
+        mass = mass_a.sum(axis=1)
+        cent = (mass_a * across).sum(axis=1) / jnp.maximum(mass, 1e-6)
+        return jnp.where(mass > 0.5, cent, nominal)
 
-    return snap(prof_h, nominal), snap(prof_v, nominal)
+    return band_centroids(lat_h, True), band_centroids(lat_v, False)
 
 
 def cells_empty_mask(

@@ -67,32 +67,170 @@ def _copy_v1_weights(tm, params):
     return tm
 
 
+def _build_torch_v3(blocks=((16, 1), (32, 2), (32, 1), (64, 2), (64, 1)),
+                    stem: int = 16):
+    """Torch mirror of DigitCNNv3 (models/cnn.py:117): stem conv-BN-relu,
+    5 residual blocks (conv-BN-relu-conv-BN + SE + projected skip), GAP,
+    FC head. Eval-mode BN uses the flax batch_stats copied in
+    :func:`_copy_v3_weights`. Reference anchor: ml/model_v3.py:95-230."""
+    import torch.nn as nn
+
+    class TorchSE(nn.Module):
+        def __init__(self, ch, reduction=4):
+            super().__init__()
+            self.fc1 = nn.Linear(ch, max(1, ch // reduction))
+            self.fc2 = nn.Linear(max(1, ch // reduction), ch)
+
+        def forward(self, x):
+            s = x.mean(dim=(2, 3))
+            s = self.fc2(self.fc1(s).relu()).sigmoid()
+            return x * s[:, :, None, None]
+
+    class TorchResBlock(nn.Module):
+        def __init__(self, cin, ch, stride):
+            super().__init__()
+            # flax SAME padding with stride 2 is asymmetric (bottom/right
+            # only) for even inputs; torch padding=1 would be symmetric
+            # and shift the feature map. Pad explicitly to match.
+            if stride == 2:
+                self.pad1 = nn.ZeroPad2d((0, 1, 0, 1))
+                self.conv1 = nn.Conv2d(cin, ch, 3, stride=2, padding=0,
+                                       bias=False)
+            else:
+                self.pad1 = nn.Identity()
+                self.conv1 = nn.Conv2d(cin, ch, 3, stride=1, padding=1,
+                                       bias=False)
+            self.bn1 = nn.BatchNorm2d(ch)
+            self.conv2 = nn.Conv2d(ch, ch, 3, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(ch)
+            self.se = TorchSE(ch)
+            self.project = cin != ch or stride != 1
+            if self.project:
+                self.conv_proj = nn.Conv2d(cin, ch, 1, stride=stride,
+                                           bias=False)
+                self.bn_proj = nn.BatchNorm2d(ch)
+
+        def forward(self, x):
+            y = self.bn1(self.conv1(self.pad1(x))).relu()
+            y = self.se(self.bn2(self.conv2(y)))
+            r = self.bn_proj(self.conv_proj(x)) if self.project else x
+            return (y + r).relu()
+
+    class TorchDigitCNNv3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(1, stem, 3, padding=1, bias=False)
+            self.bn_stem = nn.BatchNorm2d(stem)
+            cin = stem
+            mods = []
+            for ch, st in blocks:
+                mods.append(TorchResBlock(cin, ch, st))
+                cin = ch
+            self.blocks = nn.ModuleList(mods)
+            self.fc1 = nn.Linear(cin, 128)
+            self.fc2 = nn.Linear(128, 10)
+
+        def forward(self, x):
+            x = self.bn_stem(self.stem(x)).relu()
+            for b in self.blocks:
+                x = b(x)
+            x = x.mean(dim=(2, 3))  # GAP -> (B, C), matches flax axis=(1,2)
+            return self.fc2(self.fc1(x).relu())
+
+    return TorchDigitCNNv3()
+
+
+def _copy_bn(tbn, scale_bias, stats):
+    import torch
+
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(np.asarray(scale_bias["scale"])))
+        tbn.bias.copy_(torch.from_numpy(np.asarray(scale_bias["bias"])))
+        tbn.running_mean.copy_(torch.from_numpy(np.asarray(stats["mean"])))
+        tbn.running_var.copy_(torch.from_numpy(np.asarray(stats["var"])))
+
+
+def _copy_v3_weights(tm, variables, temperature=None):
+    """Copy flax DigitCNNv3 params + batch_stats into the torch mirror.
+
+    ``temperature`` (learned calibration scalar, models/cnn.py:144) is
+    folded into the final Dense so the exported graph emits calibrated
+    logits directly — deployment runtimes see one plain tensor op chain.
+    """
+    import torch
+
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def t(x):
+        return torch.from_numpy(np.array(x))
+
+    def conv(tc, p):
+        with torch.no_grad():
+            tc.weight.copy_(t(p["kernel"]).permute(3, 2, 0, 1))
+            if tc.bias is not None:
+                tc.bias.copy_(t(p["bias"]))
+
+    def dense(td, p, scale=1.0):
+        with torch.no_grad():
+            td.weight.copy_(t(p["kernel"]).T / scale)
+            td.bias.copy_(t(p["bias"]) / scale)
+
+    conv(tm.stem, params["Conv_0"])
+    _copy_bn(tm.bn_stem, params["BatchNorm_0"], stats["BatchNorm_0"])
+    for i, tb in enumerate(tm.blocks):
+        bp, bs = params[f"ResidualBlock_{i}"], stats[f"ResidualBlock_{i}"]
+        conv(tb.conv1, bp["Conv_0"])
+        _copy_bn(tb.bn1, bp["BatchNorm_0"], bs["BatchNorm_0"])
+        conv(tb.conv2, bp["Conv_1"])
+        _copy_bn(tb.bn2, bp["BatchNorm_1"], bs["BatchNorm_1"])
+        dense(tb.se.fc1, bp["SEBlock_0"]["Dense_0"])
+        dense(tb.se.fc2, bp["SEBlock_0"]["Dense_1"])
+        if tb.project:
+            conv(tb.conv_proj, bp["Conv_2"])
+            _copy_bn(tb.bn_proj, bp["BatchNorm_2"], bs["BatchNorm_2"])
+    dense(tm.fc1, params["Dense_0"])
+    dense(tm.fc2, params["Dense_1"],
+          scale=float(temperature) if temperature else 1.0)
+    return tm
+
+
 def export_to_onnx(ckpt_name: str, model_name: str, out_path: str,
-                   opset: int = 13, verify: bool = True) -> str:
+                   opset: int = 13, verify: bool = True,
+                   fold_temperature: bool = True) -> str:
     """Export a checkpoint to ONNX with a dynamic batch axis
-    (reference ml/export.py:17). v1 exports layer-for-layer; v3 (BN +
-    SE attention) is exported via torch tracing of an equivalent module
-    in a follow-up — currently v1 only."""
+    (reference ml/export.py:17). v1 exports layer-for-layer; v3 mirrors
+    the residual/SE/BN model in torch (eval-mode BN from batch_stats)
+    and optionally folds the learned temperature into the head."""
     import torch
 
     from sudoku_vision_tpu.ml import checkpoint as ckpt
-    from sudoku_vision_tpu.models import DigitCNN
+    from sudoku_vision_tpu.models import DigitCNN, DigitCNNv3
 
-    if model_name != "v1":
+    if model_name not in ("v1", "v3"):
         raise NotImplementedError(
-            "ONNX export currently supports the v1 DigitCNN; the v3 "
-            "residual/SE model export lands with the torch-mirror for v3")
+            f"ONNX export supports v1 and v3 (got {model_name!r})")
     variables = ckpt.load_variables_or_none(ckpt_name)
     if variables is None:
         raise FileNotFoundError(ckpt_name)
-    tm = _copy_v1_weights(_build_torch_v1(), variables["params"])
+    temperature = None
+    if model_name == "v3":
+        meta = ckpt.load_metadata(ckpt_name) or {}
+        if fold_temperature:
+            temperature = meta.get("temperature")
+        tm = _copy_v3_weights(_build_torch_v3(), variables, temperature)
+    else:
+        tm = _copy_v1_weights(_build_torch_v1(), variables["params"])
     tm.eval()
 
     if verify:
-        model = DigitCNN()
         rng = np.random.default_rng(0)
         x = rng.normal(size=(4, 28, 28, 1)).astype(np.float32)
-        want = np.asarray(model.apply(variables, jnp.asarray(x)))
+        if model_name == "v3":
+            want = np.asarray(DigitCNNv3().apply(
+                variables, jnp.asarray(x),
+                temperature=temperature if temperature else None))
+        else:
+            want = np.asarray(DigitCNN().apply(variables, jnp.asarray(x)))
         with torch.no_grad():
             got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         err = np.abs(want - got).max()

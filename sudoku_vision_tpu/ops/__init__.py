@@ -8,7 +8,7 @@ bit-for-bit in tests/test_ops_parity.py) so the perception pipeline can
 match the CPU reference at the cell level.
 """
 
-from sudoku_vision_tpu.ops.color import bgr_to_gray, rgb_to_gray
+from sudoku_vision_tpu.ops.color import bgr_to_gray, pooled_gray, rgb_to_gray
 from sudoku_vision_tpu.ops.filters import (
     box_filter_sum,
     box_mean_u8,
@@ -39,7 +39,7 @@ from sudoku_vision_tpu.ops.warp import (
 from sudoku_vision_tpu.ops.hist import histogram256
 
 __all__ = [
-    "bgr_to_gray", "rgb_to_gray",
+    "bgr_to_gray", "pooled_gray", "rgb_to_gray",
     "box_filter_sum", "box_mean_u8", "gaussian_blur_u8",
     "gaussian_kernel_fixed", "sep_filter_int",
     "adaptive_threshold", "otsu_threshold", "sauvola_threshold",

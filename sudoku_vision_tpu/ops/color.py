@@ -26,3 +26,33 @@ def bgr_to_gray(img: jnp.ndarray) -> jnp.ndarray:
 def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
     """uint8 (..., H, W, 3) RGB -> uint8 (..., H, W) gray, cv2 fixed point."""
     return bgr_to_gray(img[..., ::-1])
+
+
+def pooled_gray(img: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Fused BGR->gray + area-average downsample by integer factor ``f``.
+
+    uint8 (H, W, 3) BGR -> uint8 (H//f, W//f) gray reading the
+    10-megapixel frame ONCE. TPU-layout findings behind this exact
+    formulation (measured, batch-amortized):
+      * per-channel reduce_window chains: 0.37 ms/frame (3 strided
+        slices of the trailing-3 minor dim, f32 intermediates);
+      * reshape-based (H//f, f, W//f, f) pooling: 2.6 ms/frame — a
+        reshape that splits the 128-lane minor dim forces a relayout;
+      * luma as a dot_general contraction over the channel dim feeding
+        ONE strided reduce_window: 0.16 ms/frame (raw frame read is
+        0.08). The contraction keeps the (8,128)-tiled H,W dims intact.
+    gray/pool and pool/gray commute (both are one weighted mean).
+    """
+    if f == 1:
+        return bgr_to_gray(img)
+    import jax
+
+    w_luma = jnp.array([[_B2Y], [_G2Y], [_R2Y]],
+                       jnp.float32) / (1 << _SHIFT)
+    y = jax.lax.dot_general(
+        img.astype(jnp.float32), w_luma, (((2,), (0,)), ((), ())))[..., 0]
+    h, w = y.shape
+    p = jax.lax.reduce_window(
+        y[:h // f * f, :w // f * f], 0.0, jax.lax.add, (f, f), (f, f),
+        "VALID") / float(f * f)
+    return jnp.clip(jnp.rint(p), 0, 255).astype(jnp.uint8)

@@ -50,19 +50,13 @@ def perceive(
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
     if img.ndim == 3:
-        # Pool the BGR frame FIRST, then grayscale at detect scale: the
-        # only consumer of full-resolution luma was the detection
-        # pyramid's own average-pool (cells sample the pooled image), so
-        # the 10-megapixel grayscale pass is pure waste. avg+gray and
-        # gray+avg commute up to rounding.
-        from sudoku_vision_tpu.cv.grid import _avg_pool
-
+        # Fused gray+pool to detect scale in ONE pass over the frame
+        # (ops.pooled_gray): the only consumer of full-resolution luma
+        # was the detection pyramid's own average-pool (cells sample the
+        # pooled image), so the 10-megapixel frame is read exactly once.
         gh, gw = img.shape[:2]
         ds0 = max(1, round(max(gh, gw) / 950))
-        pooled = jnp.stack([
-            _avg_pool(img[..., c], ds0) for c in range(3)], axis=-1)
-        gray_small = ops.bgr_to_gray(
-            jnp.clip(jnp.rint(pooled), 0, 255).astype(jnp.uint8))
+        gray_small = ops.pooled_gray(img, ds0)
         # (Half-scale detection was A/B-tested and rejected: grid lines
         # drop below 1 px at ds=8 and the lattice collapses.)
         det, lat_h, lat_v, ds_inner, small = detect_grid_full(gray_small)

@@ -92,3 +92,31 @@ def test_bf16_compute_keeps_f32_logits():
     model = DigitCNNv3(dtype=jnp.bfloat16)
     _, out = init_and_apply(model)
     assert out.dtype == jnp.float32
+
+
+def test_v3_torch_mirror_matches_flax():
+    """The ONNX-export torch mirror of DigitCNNv3 (ml/export.py) must
+    reproduce flax eval-mode outputs, incl. BN running stats, SE, and
+    temperature folding (reference ml/export.py:17 exports the deployed
+    model; ours is v3)."""
+    torch = pytest.importorskip("torch")
+    from sudoku_vision_tpu.ml.export import _build_torch_v3, _copy_v3_weights
+
+    model = DigitCNNv3()
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(4, 28, 28, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(x))
+    # Perturb batch_stats away from init (mean 0 / var 1) so the test
+    # actually exercises the running-stats copy.
+    variables = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.25 if "batch_stats" in str(p) and
+        "mean" in str(p) else v, variables)
+
+    for temp in (None, 1.7):
+        want = np.asarray(model.apply(variables, jnp.asarray(x),
+                                      temperature=temp))
+        tm = _copy_v3_weights(_build_torch_v3(), variables, temp)
+        tm.eval()
+        with torch.no_grad():
+            got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
