@@ -27,7 +27,12 @@ def _digit_strokes(digit: int, rng: random.Random) -> list[list[tuple]]:
     j = lambda v, a=0.04: v + rng.uniform(-a, a)  # noqa: E731
 
     if digit == 1:
-        strokes = [[(j(0.30), j(0.28)), (j(0.52), j(0.12)),
+        # Flag length/steepness varies widely across print faces; long
+        # steep flags are the ones classifiers confuse with 7 (whose bar
+        # always spans the full top), so sample them aggressively.
+        fx = rng.uniform(0.22, 0.38)
+        fy = rng.uniform(0.22, 0.45)
+        strokes = [[(j(fx, 0.02), j(fy, 0.02)), (j(0.52), j(0.12)),
                     (j(0.52), j(0.88))]]
         if rng.random() < 0.5:  # base serif
             strokes.append([(j(0.32), j(0.88)), (j(0.72), j(0.88))])
