@@ -52,10 +52,15 @@ train-v1:
 	    --data-dir data/synthetic --model v1 --epochs 10 \
 	    --batch-size 256 --augment light --mixup 0 --out digit_cnn_v1
 
+# Real cells come from the extract -> label_from_truth -> prepare chain:
+#   make extract-cells && python -m sudoku_vision_tpu.tools.label_from_truth
+#   && python -m sudoku_vision_tpu.tools.prepare_real_data --labels
+#   data/cells/labeled_cells.json --cells data/cells --per-image-csvs
 train-combined:
 	$(PY) -m sudoku_vision_tpu.ml.train --dataset combined \
-	    --data-dir data/synthetic --real-dir data/real --model v3 \
-	    --epochs 30 --batch-size 256 --augment medium --calibrate \
+	    --data-dir data/synthetic_r2 --real-dir data/cells --model v3 \
+	    --epochs 15 --batch-size 256 --augment medium --calibrate \
+	    --no-clahe --pretrained digit_cnn_v3_final \
 	    --out digit_cnn_v3_combined
 
 evaluate:

@@ -24,24 +24,32 @@ import time
 import numpy as np
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _perceive_jitted(shape):
+    """One compiled graph per input shape (re-jitting per image would
+    recompile every call); model via the run_v2 fallback chain."""
+    import jax
+
+    from sudoku_vision_tpu.pipeline.graph import perceive
+    from sudoku_vision_tpu.pipeline.run_v2 import load_model
+
+    model, variables, _, _, use_clahe = load_model("v3")
+    return jax.jit(lambda im: perceive(im, model, variables,
+                                       use_clahe=use_clahe))
+
+
 def process_image(image_path: str, out_dir: str) -> dict:
     """Extract 81 cells + warped reference from one photo."""
-    import jax
     import jax.numpy as jnp
     from PIL import Image
 
-    from sudoku_vision_tpu.ml import checkpoint as ckpt
-    from sudoku_vision_tpu.models import DigitCNNv3
-    from sudoku_vision_tpu.pipeline.graph import perceive
     from sudoku_vision_tpu.utils.imageio import load_bgr
 
     img = load_bgr(image_path)
-    model = DigitCNNv3()
-    variables = ckpt.load_variables_or_none("digit_cnn_v3")
-    if variables is None:
-        variables = model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 28, 28, 1), jnp.float32))
-    out = jax.jit(lambda im: perceive(im, model, variables))(jnp.asarray(img))
+    out = _perceive_jitted(img.shape)(jnp.asarray(img))
     if not bool(out.grid_found):
         return {"image": image_path, "ok": False, "error": "no grid"}
     cells = np.asarray(out.cells)
@@ -116,6 +124,9 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
+    from sudoku_vision_tpu.utils import jax_cache
+
+    jax_cache.enable()
     manifest = process_directory(args.input, args.output,
                                  resume=not args.no_resume)
     path = create_labeling_manifest(args.output)
