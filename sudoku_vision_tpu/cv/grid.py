@@ -254,6 +254,18 @@ def order_corners(pts: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def _box_sum_u8(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Separable windowed count of a bool mask in uint8 (valid for
+    k*k <= 255), zero padding. 4x less memory traffic than _box_sum."""
+    assert k * k <= 255, k
+    pads = (k // 2, k - 1 - k // 2)
+    y = jax.lax.reduce_window(
+        x.astype(jnp.uint8), jnp.uint8(0), jax.lax.add, (1, k), (1, 1),
+        [(0, 0), pads])
+    return jax.lax.reduce_window(
+        y, jnp.uint8(0), jax.lax.add, (k, 1), (1, 1), [pads, (0, 0)])
+
+
 def _box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Separable windowed sum (float32), zero padding."""
     pads = (k // 2, k - 1 - k // 2)
@@ -268,6 +280,7 @@ def grid_region_from_lattice(
     lat_h: jnp.ndarray, lat_v: jnp.ndarray,
     k: int = 61, rel_thresh: float = 0.35,
     dark: jnp.ndarray | None = None,
+    scale: float = 1.0,
 ) -> jnp.ndarray:
     """Isolate the sudoku-grid region WITHOUT connected components.
 
@@ -285,6 +298,14 @@ def grid_region_from_lattice(
     h, w = lat_h.shape
     dens = jnp.minimum(_box_sum(lat_h > 0, k), _box_sum(lat_v > 0, k))
     dmask = dens > rel_thresh * jnp.max(dens)
+    # Local both-family presence: true near line crossings. Used BELOW
+    # (after the flood) to keep only true grid pixels — it must NOT gate
+    # the flood's connectivity mask: between crossings it is false, so a
+    # fine-gated coarse mask decomposes into isolated crossing islands
+    # and the flood dies at the seed block.
+    kf = max(5, round(11 * scale)) | 1
+    fine = jnp.logical_and(_box_sum_u8(lat_h > 0, kf) > 0,
+                           _box_sum_u8(lat_v > 0, kf) > 0)
 
     # The grid's blob contains the global density argmax; flood-fill from
     # it on a 16x-coarsened mask (solid blob -> ~diameter/16 unrolled
@@ -315,11 +336,9 @@ def grid_region_from_lattice(
     # rules and page edges near the grid are single-family and drop).
     # Separable 1-D or-dilations: a 2-D (kd, kd) reduce_window does
     # kd^2 ops/pixel (~1.2 G ops at kd=42); two 1-D passes do 2*kd.
-    kd = k // 2 + 12
+    kd = k // 2 + max(6, round(12 * scale))
     region_full = _window1d(_window1d(
         region_full, kd, 0, "max"), kd, 1, "max")
-    fine = jnp.logical_and(_box_sum(lat_h > 0, 11) > 0.5,
-                           _box_sum(lat_v > 0, 11) > 0.5)
     comp = jnp.logical_and(
         region_full,
         jnp.logical_and(fine, jnp.logical_or(lat_h > 0, lat_v > 0)))
@@ -345,29 +364,50 @@ def detect_grid_full(
     min_area_frac: float = 0.10,
     line_length: int = 31,
     density_window: int = 61,
+    calib_scale: float | None = None,
 ):
     """detect_grid plus the intermediate line-family lattices and the
     detect-scale factor — the extraction stage refines cell boundaries
-    against the lattices (page-curvature correction)."""
+    against the lattices (page-curvature correction).
+
+    All spatial constants (line length, density window, gate offsets,
+    support counts) were calibrated on ~950-px detect images.
+    ``calib_scale`` rescales them when the CALLER knows the working
+    image is a pooled-down version of a calibration-scale frame (the
+    perception graph pools 10-MP photos to 720 px — line thickness and
+    grid pitch shrink by 720/950, so the constants must follow; see
+    pipeline/graph.py::perceive). It is deliberately NOT inferred from
+    the image size: a natively small image (e.g. a 360-px synthetic
+    scene) has reference-scale line thickness and uses the calibrated
+    constants as-is."""
     from sudoku_vision_tpu.ops.filters import gaussian_blur_u8
     from sudoku_vision_tpu.ops.threshold import adaptive_threshold
 
     gh, gw = gray.shape
     ds = max(1, round(max(gh, gw) / detect_width))
     small = jnp.clip(jnp.rint(_avg_pool(gray, ds)), 0, 255).astype(jnp.uint8)
+    r = 1.0 if calib_scale is None else float(
+        min(1.5, max(0.4, calib_scale)))
+    if r > 0.9:  # near-reference scale: keep the calibrated constants
+        r = 1.0
     binary = adaptive_threshold(
         gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
 
     from sudoku_vision_tpu.ops.filters import box_mean_u8
     from sudoku_vision_tpu.ops.morphology import erode
 
-    lat_h, lat_v = line_lattice_hv(binary, line_length)
+    lat_h, lat_v = line_lattice_hv(binary, max(9, round(line_length * r)))
     # Ink gate on the LINE CORE: lattice pixels are thickened 3 px across
     # the line, so judge darkness by the windowed minimum (the stroke
     # core) vs the local mean. Real print cores run 50-150 below local
     # mean; show-through ghosts of the overleaf page only ~10-25.
-    core = erode(small, 5).astype(jnp.int32)
-    dark = core < (box_mean_u8(small, 31).astype(jnp.int32) - 30)
+    # Everything below runs in uint8: the gate maps are the costliest
+    # part of detection and are pure elementwise compares — int32 would
+    # move 4x the bytes through the VPU for identical booleans.
+    core = erode(small, max(3, round(5 * r)) | 1)
+    mean = box_mean_u8(small, max(15, round(31 * r)) | 1)
+    # core < mean - 30, saturating in uint8 (core > 225 can never pass).
+    dark = jnp.minimum(core, jnp.uint8(225)) + jnp.uint8(30) < mean
     # Interior-line gate: a grid line is ink BETWEEN PAPER — both sides
     # perpendicular to the stroke are bright. A page/card/book edge is a
     # paper-to-background step (one side dark), yet it yields long lines
@@ -378,20 +418,22 @@ def detect_grid_full(
     # ONE pad of the gray map; every directional offset below is a
     # static slice of it — XLA fuses the 12 shifted reads into a single
     # elementwise loop instead of 12 pad+slice materializations.
-    P = 9
+    o1 = max(2, round(3 * r))
+    o2, o3 = 2 * o1, 3 * o1
+    P = o3
     sh, sw = small.shape
-    s32p = jnp.pad(small.astype(jnp.int32), P, constant_values=0)
+    s8p = jnp.pad(small, P, constant_values=0)
 
     def _shifted(dy: int, dx: int) -> jnp.ndarray:
-        return s32p[P - dy:P - dy + sh, P - dx:P - dx + sw]
+        return s8p[P - dy:P - dy + sh, P - dx:P - dx + sw]
 
     def _side_paper(dy: int, dx: int) -> jnp.ndarray:
         # Brightest of 3 perpendicular offsets: clears strokes <= ~7 px
-        # thick and tolerates a digit sitting right next to the line.
+        # thick (scaled) and tolerates a digit right next to the line.
         return jnp.maximum(
-            jnp.maximum(_shifted(3 * dy, 3 * dx),
-                        _shifted(6 * dy, 6 * dx)),
-            _shifted(9 * dy, 9 * dx))
+            jnp.maximum(_shifted(o1 * dy, o1 * dx),
+                        _shifted(o2 * dy, o2 * dx)),
+            _shifted(o3 * dy, o3 * dx))
 
     gate_margin = 20
     side_u, side_d = _side_paper(-1, 0), _side_paper(1, 0)
@@ -399,12 +441,18 @@ def detect_grid_full(
     # Symmetry: an ink stroke has PAPER on both sides (near-equal
     # brightness); a material edge (page-on-desk, page-on-clutter) has
     # two different surfaces. Asymmetric "lines" are edges, not strokes.
-    sym_ud = jnp.abs(side_u - side_d) < 45
-    sym_lr = jnp.abs(side_l - side_r) < 45
+    # uint8 forms: |a-b| = max-min; core+margin saturates (a core bright
+    # enough to saturate can never be out-shone by paper anyway).
+    sym_ud = jnp.maximum(side_u, side_d) - jnp.minimum(side_u, side_d) \
+        < jnp.uint8(45)
+    sym_lr = jnp.maximum(side_l, side_r) - jnp.minimum(side_l, side_r) \
+        < jnp.uint8(45)
+    core_m = jnp.minimum(core, jnp.uint8(255 - gate_margin)) \
+        + jnp.uint8(gate_margin)
     gate_h = jnp.logical_and(
-        jnp.minimum(side_u, side_d) > core + gate_margin, sym_ud)
+        jnp.minimum(side_u, side_d) > core_m, sym_ud)
     gate_v = jnp.logical_and(
-        jnp.minimum(side_l, side_r) > core + gate_margin, sym_lr)
+        jnp.minimum(side_l, side_r) > core_m, sym_lr)
     # At grid crossings BOTH gates fail locally (the perpendicular line is
     # ink, not paper); let passing pixels a few px along the stroke vouch
     # for the crossing — but require SEVERAL of them. A diagonal page
@@ -412,11 +460,15 @@ def detect_grid_full(
     # paper-paper to a horizontal ray that exits the band), measured ~2
     # per 9x9 window vs >=39 at true grid corners across all scene
     # categories; >=6 separates them with wide margin on both sides.
-    gate_h = _box_sum(gate_h, 9) >= 6.0
-    gate_v = _box_sum(gate_v, 9) >= 6.0
+    kg = max(5, round(9 * r)) | 1
+    tg = jnp.uint8(math.ceil(6.0 * (kg / 9.0) ** 2 - 1e-6))
+    gate_h = _box_sum_u8(gate_h, kg) >= tg
+    gate_v = _box_sum_u8(gate_v, kg) >= tg
     lat_h = lat_h * gate_h.astype(lat_h.dtype)
     lat_v = lat_v * gate_v.astype(lat_v.dtype)
-    comp = grid_region_from_lattice(lat_h, lat_v, density_window, dark=dark)
+    comp = grid_region_from_lattice(
+        lat_h, lat_v, max(21, round(density_window * r)) | 1, dark=dark,
+        scale=r)
     found_any = jnp.any(comp)
 
     corners_small = _extreme_corners(comp)

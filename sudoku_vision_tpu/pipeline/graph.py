@@ -47,24 +47,44 @@ def perceive(
     cell_size: int = 28,
     temperature=None,
     use_clahe: bool = True,
+    detect_width: int = 950,
+    cell_width: int = 950,
 ) -> PerceptionOutput:
-    """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray."""
+    """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray.
+
+    Detection and cell sampling can run at SEPARATE pyramid scales:
+    detection only needs the grid lines resolvable, while cell crops
+    need <2 px sampling stride or nearest-neighbor taps alias thin
+    strokes away (measured: digits collapse at stride ~2.4). Both
+    default to 950 px: a 720-px detect level (57% of the per-pixel
+    cost) was A/B-tested and rejected for now — at 730 px the glyph
+    gaps of header text close under pooling and the text becomes a
+    lattice-crossing blob that steals the top-left extreme point on
+    goldens 4/5 (and the facing page's grid bridges the region flood);
+    see PLAN.md round-2 notes before retrying. (Half-scale-everything
+    was likewise rejected: grid lines drop below 1 px at ds=8 and the
+    lattice collapses.)
+    """
     if img.ndim == 3:
-        # Fused gray+pool to detect scale in ONE pass over the frame
-        # (ops.pooled_gray): the only consumer of full-resolution luma
-        # was the detection pyramid's own average-pool (cells sample the
-        # pooled image), so the 10-megapixel frame is read exactly once.
         gh, gw = img.shape[:2]
-        ds0 = max(1, round(max(gh, gw) / 950))
-        gray_small = ops.pooled_gray(img, ds0)
-        # (Half-scale detection was A/B-tested and rejected: grid lines
-        # drop below 1 px at ds=8 and the lattice collapses.)
-        det, lat_h, lat_v, ds_inner, small = detect_grid_full(gray_small)
-        ds_det = ds0 * ds_inner
-        ds = ds0 * ds_inner
-        # Corners come back in gray_small coords; lift to full-res.
+        ds_det0 = max(1, round(max(gh, gw) / detect_width))
+        ds_cell = max(1, round(max(gh, gw) / cell_width))
+        gray_det = ops.pooled_gray(img, ds_det0)
+        # The detector's constants were calibrated on ~950-px pooled
+        # frames; rescale them by the ACHIEVED pooling ratio vs that
+        # baseline (for small inputs both targets give ds=1 — the image
+        # is untouched and the constants must be too).
+        ds_calib = max(1, round(max(gh, gw) / 950.0))
+        det, lat_h, lat_v, ds_inner, _ = detect_grid_full(
+            gray_det, calib_scale=ds_calib / ds_det0)
+        ds_det = ds_det0 * ds_inner
+        # Cells sample a finer level (XLA CSEs the two pools if equal).
+        small = (gray_det if ds_cell == ds_det0
+                 else ops.pooled_gray(img, ds_cell))
+        ds = ds_cell
+        # Corners come back in gray_det coords; lift to full-res.
         det = det._replace(
-            corners=det.corners * float(ds0) + (ds0 - 1) / 2.0)
+            corners=det.corners * float(ds_det0) + (ds_det0 - 1) / 2.0)
     else:
         det, lat_h, lat_v, ds_det, small = detect_grid_full(img)
         ds = ds_det
