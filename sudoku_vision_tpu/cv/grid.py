@@ -308,10 +308,13 @@ def grid_region_from_lattice(
                            _box_sum_u8(lat_v > 0, kf) > 0)
 
     # The grid's blob contains the global density argmax; flood-fill from
-    # it on a 16x-coarsened mask (solid blob -> ~diameter/16 unrolled
+    # it on a coarsened mask (solid blob -> ~diameter/f unrolled
     # dilations) to drop detached above-threshold specks (e.g. a book
-    # spine crossing a fold also has both line families locally).
-    f = 16
+    # spine crossing a fold also has both line families locally). The
+    # coarse factor follows `scale` so the flood's physical bridging
+    # reach (which gaps between two adjacent grids it can jump) is
+    # resolution-independent — calibrated f=16 at scale 1.
+    f = max(4, round(16 * scale))
     ch, cw = -(-h // f), -(-w // f)
     dpad = jnp.pad(dmask, ((0, ch * f - h), (0, cw * f - w)))
     cmask = jax.lax.reduce_window(
@@ -466,12 +469,29 @@ def detect_grid_full(
     gate_v = _box_sum_u8(gate_v, kg) >= tg
     lat_h = lat_h * gate_h.astype(lat_h.dtype)
     lat_v = lat_v * gate_v.astype(lat_v.dtype)
+    # Region isolation runs on 2x2-pooled lattice masks: the density /
+    # flood / support stages only need the lattice's coarse geometry,
+    # and at half resolution they cost a quarter of the traffic. The
+    # lattice itself STAYS at full detect scale (pooling gray before
+    # the opening is what closes text glyph gaps and breaks detection —
+    # pooling the binary lattice masks after the opening does not).
+    # Corner quantization from the pooling is <=2 detect px, absorbed
+    # by the boundary refinement stage.
+    def _pool2_any(x):
+        xh, xw = x.shape
+        return jax.lax.reduce_window(
+            x[:xh - (xh % 2), :xw - (xw % 2)], x.dtype.type(0),
+            jax.lax.max, (2, 2), (2, 2), "VALID")
+
+    lat_h2 = _pool2_any(lat_h)
+    lat_v2 = _pool2_any(lat_v)
+    dark2 = _pool2_any(dark.astype(jnp.int8)) > 0
     comp = grid_region_from_lattice(
-        lat_h, lat_v, max(21, round(density_window * r)) | 1, dark=dark,
-        scale=r)
+        lat_h2, lat_v2, max(11, round(density_window * r / 2)) | 1,
+        dark=dark2, scale=r / 2)
     found_any = jnp.any(comp)
 
-    corners_small = _extreme_corners(comp)
+    corners_small = _extreme_corners(comp) * 2.0 + 0.5
     corners = corners_small * float(ds) + (ds - 1) / 2.0
 
     x = corners[:, 0]
@@ -481,7 +501,7 @@ def detect_grid_full(
         + (x[2] * y[3] - x[3] * y[2]) + (x[3] * y[0] - x[0] * y[3]))
     quad_area = area2 / 2.0
     area_frac = quad_area / jnp.float32(gh * gw)
-    comp_px = jnp.sum(comp).astype(jnp.float32) * float(ds * ds)
+    comp_px = jnp.sum(comp).astype(jnp.float32) * float(4 * ds * ds)
     fill = jnp.where(quad_area > 0, comp_px / jnp.maximum(quad_area, 1.0), 0.0)
     found = jnp.logical_and(found_any, area_frac >= min_area_frac)
     det = GridDetection(corners=corners, found=found,

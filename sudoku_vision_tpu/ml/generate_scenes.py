@@ -47,6 +47,7 @@ CATEGORIES = (
     "shadow",
     "cluttered",
     "newsprint",
+    "facing_pages",
 )
 
 
@@ -240,6 +241,34 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
     gpx = grid_px or int(short * rng.uniform(0.55, 0.72))
     page, page_corners = render_page(
         puzzle, rng, grid_px=gpx, newsprint=(category == "newsprint"))
+    if category == "facing_pages":
+        # Open puzzle book: a decoy page with ANOTHER full sudoku grid
+        # sits left of the target page across a shaded gutter (the
+        # sample_4/sample_5 golden class — the decoy's crossings are a
+        # real lattice that must not steal the extreme points). The
+        # composition below pushes most of the decoy out of frame, so
+        # the target grid stays dominant and the ground truth is
+        # unambiguous.
+        decoy_puzzle, _ = make_puzzle(rng, rng.randint(26, 38))
+        decoy, _ = render_page(decoy_puzzle, rng, grid_px=gpx,
+                               newsprint=False)
+        gut = max(6, int(gpx * rng.uniform(0.04, 0.10)))
+        ph0 = max(page.shape[0], decoy.shape[0])
+        pw0 = decoy.shape[1] + gut + page.shape[1]
+        spread = np.full((ph0, pw0), float(np.median(page)), np.float32)
+        spread[:decoy.shape[0], :decoy.shape[1]] = decoy
+        spread[:page.shape[0], decoy.shape[1] + gut:] = page
+        # Spine shading: darken a band around the gutter (cosine falloff).
+        x0 = decoy.shape[1] + gut / 2.0
+        xs_p = np.arange(pw0, dtype=np.float32)
+        shade = 1.0 - 0.45 * np.exp(-((xs_p - x0) / (gpx * 0.18)) ** 2)
+        spread *= shade[None, :]
+        page_corners = page_corners + np.array([decoy.shape[1] + gut, 0.0])
+        focus = (np.array([decoy.shape[1] + gut, 0.0]),
+                 np.array([page.shape[1], page.shape[0]], np.float64))
+        page = spread
+    else:
+        focus = None
     ph, pw = page.shape
 
     # Target quad for the PAGE in the scene: centered, mild perspective.
@@ -249,17 +278,28 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
     theta = np.deg2rad(angle)
     rot = np.array([[np.cos(theta), -np.sin(theta)],
                     [np.sin(theta), np.cos(theta)]])
-    scale = min((w * 0.86) / pw, (h * 0.86) / ph)
-    base = np.array([[-pw / 2, -ph / 2], [pw / 2, -ph / 2],
-                     [pw / 2, ph / 2], [-pw / 2, ph / 2]]) * scale
+    if focus is None:
+        f_orig = np.array([0.0, 0.0])
+        f_size = np.array([pw, ph], np.float64)
+    else:
+        f_orig, f_size = focus
+    # Scale/center so the FOCUS region (the target page; the whole page
+    # unless a decoy spread extends it) fills the frame as usual — any
+    # overhang (the facing page) runs off-frame like a real book photo.
+    scale = min((w * 0.86) / f_size[0], (h * 0.86) / f_size[1])
+    f_center = f_orig + f_size / 2.0
+    base = (np.array([[0.0, 0.0], [pw, 0.0], [pw, ph], [0.0, ph]])
+            - f_center) * scale
     quad = base @ rot.T
-    # Perspective jitter per corner.
-    jit = np.array([[rng.uniform(-max_tilt, max_tilt) * pw * scale,
-                     rng.uniform(-max_tilt, max_tilt) * ph * scale]
+    # Perspective jitter per corner (relative to the focus size so the
+    # tilt of a wide spread matches a single page's).
+    jit = np.array([[rng.uniform(-max_tilt, max_tilt) * f_size[0] * scale,
+                     rng.uniform(-max_tilt, max_tilt) * f_size[1] * scale]
                     for _ in range(4)])
     quad = quad + jit + np.array([w / 2, h / 2])
-    quad[:, 0] = np.clip(quad[:, 0], 4, w - 5)
-    quad[:, 1] = np.clip(quad[:, 1], 4, h - 5)
+    if focus is None:
+        quad[:, 0] = np.clip(quad[:, 0], 4, w - 5)
+        quad[:, 1] = np.clip(quad[:, 1], 4, h - 5)
 
     src_quad = [(0, 0), (pw, 0), (pw, ph), (0, ph)]
     coeffs = _persp_coeffs(src_quad, [tuple(p) for p in quad])
