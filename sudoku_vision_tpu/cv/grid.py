@@ -166,15 +166,12 @@ def _directional_open(b: jnp.ndarray, slope: float, length: int,
     return d
 
 
-def line_lattice_hv(
+def _line_lattice_hv_single(
     binary: jnp.ndarray,
-    length: int = 31,
-    angles_deg: Sequence[int] = tuple(range(-45, 46, 5)),
+    length: int,
+    angles_deg: Sequence[int],
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """line_lattice with the two orientation families kept separate:
-    (horizontal-ish lines, vertical-ish lines). The sudoku grid is the
-    only structure containing BOTH everywhere — page edges, book spines
-    and text rules are single-family."""
+    """Per-frame lattice bank (the original dense formulation)."""
     b = (binary > 0).astype(jnp.int8)
     thick_h = _window1d(b, 3, 0, "max")
     thick_v = _window1d(b, 3, 1, "max")
@@ -190,6 +187,134 @@ def line_lattice_hv(
     # several consumers (gates, density region, boundary refine) and the
     # traffic of rematerialized int32 copies measured ~0.3 ms/frame.
     return lat_h, lat_v
+
+
+# --- bit-packed batched bank -------------------------------------------------
+#
+# On binary data, erosion = AND and dilation = OR, and every frame in a
+# batch uses the SAME per-angle shift offsets — so 32 frames pack into
+# the 32 bitplanes of one uint32 map and the whole orientation bank runs
+# ONCE per batch as bitwise ops: ~32x less VPU traffic on the hottest
+# detection stage (the bank is ~400 translate/min/max passes; measured
+# ~0.6 ms/frame un-packed at batch 32). Wired in via custom_vmap so
+# vmap(perceive) picks it up automatically; results are bit-identical
+# to the per-frame path (same shift plan, same fill semantics).
+
+_ONES32 = 0xFFFFFFFF
+
+
+def _pack_bits(b01: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W) 0/1 -> (ceil(N/32), H, W) uint32 bitplanes."""
+    n = b01.shape[0]
+    g = -(-n // 32)
+    words = []
+    for gi in range(g):
+        w = jnp.zeros(b01.shape[1:], jnp.uint32)
+        for i in range(min(32, n - gi * 32)):
+            w = w | (b01[gi * 32 + i].astype(jnp.uint32) << i)
+        words.append(w)
+    return jnp.stack(words)
+
+
+def _unpack_bits(words: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(G, H, W) uint32 -> (N, H, W) int8 0/1."""
+    return jnp.stack([
+        ((words[i // 32] >> (i % 32)) & 1).astype(jnp.int8)
+        for i in range(n)])
+
+
+def _translate_packed(x: jnp.ndarray, dy: int, dx: int,
+                      fill: int) -> jnp.ndarray:
+    """_translate2d over the spatial dims of a (G, H, W) bitplane stack."""
+    _, h, w = x.shape
+    py = (max(dy, 0), max(-dy, 0))
+    px = (max(dx, 0), max(-dx, 0))
+    xp = jnp.pad(x, ((0, 0), py, px), constant_values=jnp.uint32(fill))
+    return xp[:, py[1]:py[1] + h, px[1]:px[1] + w]
+
+
+def _window_or_packed(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    dims = [1, 1, 1]
+    dims[axis] = k
+    pads = [(0, 0), (0, 0), (0, 0)]
+    pads[axis] = (k // 2, k - 1 - k // 2)
+    return jax.lax.reduce_window(
+        x, jnp.uint32(0), jax.lax.bitwise_or, tuple(dims), (1, 1, 1), pads)
+
+
+def _directional_open_packed(b: jnp.ndarray, slope: float, length: int,
+                             vertical: bool) -> jnp.ndarray:
+    """_directional_open on uint32 bitplanes (min->AND, max->OR)."""
+    def off(k: int):
+        return ((int(round(k * slope)), k) if not vertical
+                else (k, int(round(k * slope))))
+
+    shifts = []
+    covered = 1
+    while covered < length:
+        s = min(covered, length - covered)
+        shifts.append(s)
+        covered += s
+
+    e = b
+    for k in shifts:
+        dy, dx = off(k)
+        e = e & _translate_packed(e, -dy, -dx, _ONES32)
+    d = e
+    for k in shifts:
+        dy, dx = off(k)
+        d = d | _translate_packed(d, dy, dx, 0)
+    return d
+
+
+def _line_lattice_hv_packed(
+    binary: jnp.ndarray,
+    length: int,
+    angles_deg: Sequence[int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched bank on bit-packed frames. binary: (N, H, W) uint8 mask."""
+    n = binary.shape[0]
+    packed = _pack_bits((binary > 0).astype(jnp.uint32))
+    thick_h = _window_or_packed(packed, 3, 1)
+    thick_v = _window_or_packed(packed, 3, 2)
+    lat_h = jnp.zeros_like(packed)
+    lat_v = jnp.zeros_like(packed)
+    for a in angles_deg:
+        s = math.tan(math.radians(a))
+        lat_h = lat_h | _directional_open_packed(
+            thick_h, s, length, vertical=False)
+        lat_v = lat_v | _directional_open_packed(
+            thick_v, s, length, vertical=True)
+    return _unpack_bits(lat_h, n), _unpack_bits(lat_v, n)
+
+
+def line_lattice_hv(
+    binary: jnp.ndarray,
+    length: int = 31,
+    angles_deg: Sequence[int] = tuple(range(-45, 46, 5)),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """line_lattice with the two orientation families kept separate:
+    (horizontal-ish lines, vertical-ish lines). The sudoku grid is the
+    only structure containing BOTH everywhere — page edges, book spines
+    and text rules are single-family.
+
+    Under vmap the bank switches to the bit-packed batched formulation
+    (32 frames per uint32 word — see _line_lattice_hv_packed) with
+    bit-identical results."""
+
+    @jax.custom_batching.custom_vmap
+    def _bank(b):
+        return _line_lattice_hv_single(b, length, angles_deg)
+
+    @_bank.def_vmap
+    def _bank_vmap(axis_size, in_batched, b):  # noqa: ANN001
+        del axis_size
+        if not in_batched[0]:  # mapped over something else: no frame axis
+            return _line_lattice_hv_single(b, length, angles_deg), \
+                (False, False)
+        return _line_lattice_hv_packed(b, length, angles_deg), (True, True)
+
+    return _bank(binary)
 
 
 def _coarse_labels(mask: jnp.ndarray, iters: int = 32) -> jnp.ndarray:

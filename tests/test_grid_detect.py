@@ -101,3 +101,30 @@ def test_order_corners():
     ordered = np.asarray(order_corners(pts))
     np.testing.assert_array_equal(
         ordered, [[0, 0], [100, 0], [100, 100], [0, 100]])
+
+
+def test_packed_bank_matches_per_frame():
+    """vmap routes the lattice bank to the bit-packed batched formulation
+    (custom_vmap); it must be bit-identical to the per-frame path,
+    including batches that span >1 uint32 word (N > 32)."""
+    from sudoku_vision_tpu.cv.grid import line_lattice_hv
+
+    rng = np.random.default_rng(1)
+    n = 35
+    imgs = np.zeros((n, 96, 144), np.uint8)
+    for i in range(n):
+        y = 10 + (5 * i) % 70
+        imgs[i, y, 8:120] = 255                       # horizontal line
+        imgs[i, 12:90, 20 + (3 * i) % 100] = 255      # vertical line
+        speck = rng.random((96, 144)) < 0.02
+        imgs[i][speck] = 255
+    batch = jnp.asarray(imgs)
+
+    f = lambda b: line_lattice_hv(b, 15, (-45, -20, 0, 20, 45))
+    lat_h_b, lat_v_b = jax.jit(jax.vmap(f))(batch)
+    for i in range(0, n, 7):
+        lat_h, lat_v = jax.jit(f)(batch[i])
+        np.testing.assert_array_equal(np.asarray(lat_h_b[i]),
+                                      np.asarray(lat_h))
+        np.testing.assert_array_equal(np.asarray(lat_v_b[i]),
+                                      np.asarray(lat_v))
