@@ -122,6 +122,85 @@ def bilinear_sample_u8(
     return jnp.clip(jnp.rint(acc), 0, 255).astype(jnp.uint8)
 
 
+def scanline_sample_cells_u8(
+    img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray
+) -> jnp.ndarray:
+    """Nearest-neighbor cell sampling with ~3x fewer gather offsets.
+
+    Gathers on this runtime cost ~10 ns per OFFSET regardless of slice
+    bytes (measured; a (81, 28, 28) nearest extraction = 63.5K offsets
+    = ~0.65 ms/frame, the single most expensive perception stage). This
+    sampler restructures the same warp so the gather count drops to one
+    offset per OUTPUT ROW (2268), with everything else as dense VPU/MXU
+    work:
+
+      1. Global y-shear of the image by round(q*x) per column (q = the
+         least-squares slope of the 2268 output-row source lines, i.e.
+         the grid rotation). A warped row is a straight source line, so
+         after the shear every output row lies in ~one image row
+         (residual = per-cell perspective deviation from the global
+         slope, sub-pixel for camera shots). The shear itself is 11
+         select+static-roll stages over the whole image — ~0.4 MB per
+         stage, essentially free.
+      2. One row-gather (jnp.take along axis 0) of the 81*28 source
+         rows: the only gather, at row granularity.
+      3. Exact per-sample x selection as two tiny one-hot contractions
+         (mixed-radix factorization of the column index: x = 16*hi+lo),
+         which the MXU/VPU eats instead of 63K scalar offsets.
+
+    vs nearest_sample_u8 the picks can differ by +-1 source pixel where
+    the rounding of the shear or the row mean crosses half-pixel
+    boundaries (A/B on the golden+synthetic e2e corpus: identical
+    digits — the binarizing cell preprocessing absorbs it). Requires
+    |grid rotation| <= ~45 deg (|q| <= 1), which is also the detector's
+    lattice-bank range.
+
+    xs/ys: (81, co, co) float32 source sample coordinates.
+    """
+    h, w = img.shape
+    n, co = xs.shape[0], xs.shape[1]
+    # Least-squares slope of all output-row lines: dy = q * dx.
+    dy = ys[:, :, -1] - ys[:, :, 0]
+    dx = xs[:, :, -1] - xs[:, :, 0]
+    q = jnp.sum(dy * dx) / jnp.maximum(jnp.sum(dx * dx), 1e-6)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    g = jnp.rint(q * cols).astype(jnp.int32)
+    gmin = jnp.min(g)
+    shift = g - gmin                     # per-column upward shift >= 0
+    sh = img
+    for k in range(11):                  # covers |q| <= 1 up to w = 2048
+        bit = ((shift >> k) & 1).astype(bool)[None, :]
+        sh = jnp.where(bit, jnp.roll(sh, -(1 << k), axis=0), sh)
+    # Row index per output row in the sheared image (mean over j of the
+    # per-sample residual row — sub-pixel spread by construction).
+    gq = jnp.rint(q * jnp.rint(xs))
+    # Row in the sheared image: y1 = Y - shift(X) = Y - g(X) + gmin.
+    y1f = ys - gq + gmin.astype(jnp.float32)
+    # The shear rolls cyclically, so per column the row map is a
+    # bijection mod h — index modulo, never clip (a clip misreads every
+    # sample the shear wrapped past an image edge).
+    y1 = jnp.mod(jnp.rint(jnp.mean(y1f, axis=2)).astype(jnp.int32), h)
+    rows = jnp.take(sh, y1.reshape(-1), axis=0).reshape(n, co, w)
+    # Exact x pick: factored one-hot over columns (w padded to 16*rhi).
+    rlo = 16
+    rhi = -(-w // rlo)
+    pad = rhi * rlo - w
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pad)))
+    xi = jnp.clip(jnp.rint(xs).astype(jnp.int32), 0, w - 1)
+    xhi, xlo = xi // rlo, xi % rlo
+    whi = (xhi[..., None] == jnp.arange(rhi)[None, None, None, :]
+           ).astype(jnp.bfloat16)                        # (n, co, co, rhi)
+    wlo = (xlo[..., None] == jnp.arange(rlo)[None, None, None, :]
+           ).astype(jnp.bfloat16)                        # (n, co, co, rlo)
+    rhl = rows.reshape(n, co, rhi, rlo).astype(jnp.bfloat16)
+    t1 = jnp.einsum("cihl,cijh->cijl", rhl, whi)
+    out = jnp.einsum("cijl,cijl->cij", t1, wlo)
+    # Out-of-bounds samples -> 0 (same contract as nearest_sample_u8).
+    inb = (xs >= -0.5) & (xs < w - 0.5) & (ys >= -0.5) & (ys < h - 0.5)
+    return jnp.where(inb, jnp.clip(out, 0, 255), 0).astype(jnp.uint8)
+
+
 def _project(m_inv: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
     """Apply inverse homography to dst pixel coords -> src coords."""
     den = m_inv[2, 0] * xs + m_inv[2, 1] * ys + m_inv[2, 2]
@@ -218,6 +297,10 @@ def warp_extract_cells(
     wyf = jnp.broadcast_to(wy, (9, 9, cell_out, cell_out))
     wxf = jnp.broadcast_to(wx, (9, 9, cell_out, cell_out))
     sx, sy = _project(jnp.asarray(m_inv, jnp.float32), wxf, wyf)
+    if sample_mode == "scanline":
+        return scanline_sample_cells_u8(
+            img, sx.reshape(81, cell_out, cell_out),
+            sy.reshape(81, cell_out, cell_out))
     sampler = (nearest_sample_u8 if sample_mode == "nearest"
                else bilinear_sample_u8)
     cells = sampler(img, sx, sy)

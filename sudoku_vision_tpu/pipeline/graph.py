@@ -49,6 +49,7 @@ def perceive(
     use_clahe: bool = True,
     detect_width: int = 950,
     cell_width: int = 950,
+    sample_mode: str = "scanline",
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray.
 
@@ -105,7 +106,7 @@ def perceive(
     ])
     cells = extract_cells(small, m_inv_small, warp_size, cell_size,
                           boundaries_y=b_y, boundaries_x=b_x,
-                          sample_mode="nearest")
+                          sample_mode=sample_mode)
     empty = cells_empty_mask(cells)
     x = preprocess_cells_for_model(cells, use_clahe)
     logits = model.apply(variables, x, temperature=temperature) \

@@ -266,6 +266,55 @@ def test_fused_extract_matches_two_stage():
     assert worst < 2.0, worst
 
 
+def test_scanline_extract_matches_nearest():
+    """The scanline sampler (row-gather + shear + one-hot matmul) must
+    reproduce the nearest-gather path: exactly for an axis-aligned warp
+    (q = 0: no shear, every approximation degenerates), and within
+    +-1-source-pixel picks for a rotated grid (on a smooth image the
+    picked values then differ by a few gray levels at most)."""
+    # Axis-aligned: identical.
+    img = cv2.GaussianBlur(rand_u8(240, 320), (5, 5), 0)
+    corners = np.array([[20, 15], [300, 15], [300, 225], [20, 225]],
+                       np.float32)
+    m = homography_np(corners, (450, 450))
+    near = np.asarray(ops.warp_extract_cells(
+        jnp.asarray(img), np.linalg.inv(m), 450, 28, 0.10,
+        sample_mode="nearest"))
+    scan = np.asarray(ops.warp_extract_cells(
+        jnp.asarray(img), np.linalg.inv(m), 450, 28, 0.10,
+        sample_mode="scanline"))
+    np.testing.assert_array_equal(near, scan)
+
+    # Rotated ~17 deg: picks may land on a +-1-px neighbor. On a
+    # Lipschitz-bounded smooth image that caps the value error at
+    # sqrt(2) * max gradient, which pins the approximation to "neighbor
+    # pick" rather than "wrong position".
+    yy, xx = np.mgrid[0:240, 0:320].astype(np.float64)
+    smooth = (127 + 60 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+              + 40 * np.sin((xx + yy) / 31.0))
+    lipschitz = 60 / 17.0 + 60 / 23.0 + 40 / 31.0   # max |grad| bound
+    img = np.clip(smooth, 0, 255).astype(np.uint8)
+    for deg in (17.0, -17.0):   # both tilt signs (negative q: gmin < 0)
+        th = np.radians(deg)
+        c, s = np.cos(th), np.sin(th)
+        ctr = np.array([160, 120])
+        rot = np.array([[c, -s], [s, c]])
+        base = np.array([[-100, -90], [100, -90], [100, 90], [-100, 90]],
+                        np.float64)
+        corners = (base @ rot.T + ctr).astype(np.float32)
+        m = homography_np(corners, (450, 450))
+        near = np.asarray(ops.warp_extract_cells(
+            jnp.asarray(img), np.linalg.inv(m), 450, 28, 0.10,
+            sample_mode="nearest"))
+        scan = np.asarray(ops.warp_extract_cells(
+            jnp.asarray(img), np.linalg.inv(m), 450, 28, 0.10,
+            sample_mode="scanline"))
+        diff = np.abs(near.astype(int) - scan.astype(int))
+        assert diff.max() <= np.ceil(np.sqrt(2) * lipschitz) + 1, \
+            (deg, diff.max())
+        assert (diff > 0).mean() < 0.6, (deg, (diff > 0).mean())
+
+
 # ---------------------------------------------------------------------------
 # CLAHE
 # ---------------------------------------------------------------------------
