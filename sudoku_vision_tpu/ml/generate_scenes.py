@@ -48,6 +48,7 @@ CATEGORIES = (
     "cluttered",
     "newsprint",
     "facing_pages",
+    "rotated",   # photo rotated a quarter-turn multiple +- 30 deg
 )
 
 
@@ -273,8 +274,15 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
 
     # Target quad for the PAGE in the scene: centered, mild perspective.
     max_tilt = {"printed_skew": 0.18}.get(category, 0.08)
-    angle = rng.uniform(-30, 30) if category == "printed_skew" \
-        else rng.uniform(-8, 8)
+    if category == "printed_skew":
+        angle = rng.uniform(-30, 30)
+    elif category == "rotated":
+        # Beyond the +-45-deg lattice bank: sideways / upside-down
+        # photos (+-30-deg jitter keeps clear of the degenerate 45-deg
+        # extreme-corner boundary). Exercises auto-orientation.
+        angle = rng.choice([90, 180, 270]) + rng.uniform(-30, 30)
+    else:
+        angle = rng.uniform(-8, 8)
     theta = np.deg2rad(angle)
     rot = np.array([[np.cos(theta), -np.sin(theta)],
                     [np.sin(theta), np.cos(theta)]])
@@ -286,8 +294,14 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
     # Scale/center so the FOCUS region (the target page; the whole page
     # unless a decoy spread extends it) fills the frame as usual — any
     # overhang (the facing page) runs off-frame like a real book photo.
-    scale = min((w * 0.86) / f_size[0], (h * 0.86) / f_size[1])
+    # The fit is measured on the ROTATED focus extents (identical to
+    # f_size at angle 0) so quarter-turned pages don't overflow into
+    # the corner clip and warp the quad.
     f_center = f_orig + f_size / 2.0
+    f_half = np.array([[-f_size[0], -f_size[1]], [f_size[0], -f_size[1]],
+                       [f_size[0], f_size[1]], [-f_size[0], f_size[1]]]) / 2.0
+    ext = 2.0 * np.abs(f_half @ rot.T).max(axis=0)
+    scale = min((w * 0.86) / ext[0], (h * 0.86) / ext[1])
     base = (np.array([[0.0, 0.0], [pw, 0.0], [pw, ph], [0.0, ph]])
             - f_center) * scale
     quad = base @ rot.T

@@ -27,7 +27,8 @@ from sudoku_vision_tpu.pipeline.graph import perceive
 
 
 def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
-                        temperature=None, use_clahe: bool = True):
+                        temperature=None, use_clahe: bool = True,
+                        orient: str = "fixed"):
     """Build (fn, mesh): fn maps (N, H, W, 3) uint8 -> perception outputs,
     with frames sharded over the mesh's "data" axis.
 
@@ -48,8 +49,8 @@ def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
     )
     def fn(imgs):
         out = jax.vmap(
-            lambda im: perceive(im, model, variables,
-                                temperature=t, use_clahe=use_clahe)
+            lambda im: perceive(im, model, variables, temperature=t,
+                                use_clahe=use_clahe, orient=orient)
         )(imgs)
         return (out.digits, out.confidence, out.probs, out.corners,
                 out.grid_found)

@@ -37,6 +37,7 @@ class PerceptionOutput(NamedTuple):
     corners: jnp.ndarray       # (4, 2) float32
     grid_found: jnp.ndarray    # () bool
     cells: jnp.ndarray         # (81, 28, 28) uint8 raw cell crops
+    orientation: jnp.ndarray   # () int32 quarter-turns CCW applied (0..3)
 
 
 def perceive(
@@ -50,8 +51,23 @@ def perceive(
     detect_width: int = 950,
     cell_width: int = 950,
     sample_mode: str = "scanline",
+    orient: str = "fixed",
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray.
+
+    orient="auto" adds full 360-deg rotation coverage: the line-lattice
+    detector is rotation-complete (the two perpendicular line families
+    always fold into its +-45-deg bank), but a photo rotated beyond
+    +-45 deg warps to an upright grid whose DIGITS are rotated by a
+    quarter-turn multiple. Auto mode classifies all four quarter-turn
+    readings of the warped grid in one CNN batch (4x81 cells — grid
+    positions and glyph pixels rotate together) and keeps the reading
+    with the highest mean digit confidence; digits, probs, empty mask,
+    cells and corners are all returned in the chosen upright frame.
+    This replaces the reference's rotate-and-rerun strategy
+    (reference cv/grid_v2.py:346-372, limited to small angles) with a
+    single fixed-shape graph. Cost: 3 extra CNN passes on an (81, 28,
+    28) batch — negligible next to detection.
 
     Detection and cell sampling can run at SEPARATE pyramid scales:
     detection only needs the grid lines resolvable, while cell crops
@@ -109,16 +125,60 @@ def perceive(
                           sample_mode=sample_mode)
     empty = cells_empty_mask(cells)
     x = preprocess_cells_for_model(cells, use_clahe)
-    logits = model.apply(variables, x, temperature=temperature) \
-        if _accepts_temperature(model) else model.apply(variables, x)
-    probs = jax.nn.softmax(logits, axis=-1)
+
+    def apply_model(inp):
+        return model.apply(variables, inp, temperature=temperature) \
+            if _accepts_temperature(model) else model.apply(variables, inp)
+
+    corners = det.corners
+    orientation = jnp.int32(0)
+    if orient == "auto":
+        s = cell_size
+
+        def quarter_turns(arr81, k):
+            """Rotate grid positions AND glyph pixels together by k CCW.
+
+            A photo rotated 90k deg clockwise warps to rot90^k of the
+            upright grid, so one rot90 over the (9, 9) cell axes plus
+            one over the pixel axes recovers the upright reading.
+            """
+            g = arr81.reshape((9, 9) + arr81.shape[1:])
+            g = jnp.rot90(g, k, axes=(0, 1))
+            if g.ndim >= 4:
+                g = jnp.rot90(g, k, axes=(2, 3))
+            return g.reshape(arr81.shape)
+
+        xs = jnp.concatenate([quarter_turns(x, k) for k in range(4)])
+        logits4 = apply_model(xs).reshape(4, 81, 10)
+        probs4 = jax.nn.softmax(logits4, axis=-1)
+        empty4 = jnp.stack([quarter_turns(empty, k) for k in range(4)])
+        # Mean best DIGIT-class probability over non-empty cells:
+        # "confidently empty" readings of rotated glyphs must not score.
+        nz = (~empty4).astype(jnp.float32)
+        score = (probs4[..., 1:].max(-1) * nz).sum(-1) \
+            / jnp.maximum(nz.sum(-1), 1.0)
+        orientation = jnp.argmax(score).astype(jnp.int32)
+        logits = jnp.take(logits4, orientation, axis=0)
+        probs = jnp.take(probs4, orientation, axis=0)
+        empty = jnp.take(empty4, orientation, axis=0)
+        cells = jnp.take(
+            jnp.stack([quarter_turns(cells, k) for k in range(4)]),
+            orientation, axis=0)
+        # corners[0] must be the image point of the upright grid's tl:
+        # after k quarter-turns that is image-frame corner k (tl->tr->..).
+        corners = jnp.take(
+            jnp.stack([jnp.roll(det.corners, -k, axis=0)
+                       for k in range(4)]), orientation, axis=0)
+    else:
+        logits = apply_model(x)
+        probs = jax.nn.softmax(logits, axis=-1)
     raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     digits = jnp.where(empty, 0, raw_digits)
     conf = jnp.where(empty, 1.0, probs.max(axis=-1))
     return PerceptionOutput(
         logits=logits, probs=probs, digits=digits, confidence=conf,
-        empty_mask=empty, corners=det.corners, grid_found=det.found,
-        cells=cells)
+        empty_mask=empty, corners=corners, grid_found=det.found,
+        cells=cells, orientation=orientation)
 
 
 def _accepts_temperature(model) -> bool:

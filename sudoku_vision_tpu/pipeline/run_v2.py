@@ -48,6 +48,11 @@ class PipelineConfig:
     solver_timeout_s: float = 5.0
     model: str = "v3"
     check_quality: bool = True
+    # Classify all 4 quarter-turn readings and keep the most confident:
+    # full 360-deg rotation coverage (the reference's rotate-and-rerun,
+    # cv/grid_v2.py:346, handles small angles only). ~3 extra CNN passes
+    # on the 81-cell batch per image.
+    auto_orient: bool = True
 
 
 @dataclass
@@ -63,6 +68,7 @@ class PipelineResult:
     quality: dict
     corrections: list = field(default_factory=list)
     quality_feedback: list = field(default_factory=list)
+    orientation: int = 0  # quarter-turns CCW applied to upright the grid
     time_graph: float = 0.0
     time_reasoning: float = 0.0
     time_solver: float = 0.0
@@ -97,7 +103,8 @@ def load_model(model_name: str = "v3"):
 
 
 @functools.lru_cache(maxsize=4)
-def _jitted_graph(h: int, w: int, channels: int, model_name: str):
+def _jitted_graph(h: int, w: int, channels: int, model_name: str,
+                  orient: str = "fixed"):
     model, variables, temperature, ckpt_name, use_clahe = load_model(
         model_name)
 
@@ -105,7 +112,7 @@ def _jitted_graph(h: int, w: int, channels: int, model_name: str):
     def fn(img):
         out = perceive(img, model, variables,
                        temperature=jnp.float32(temperature),
-                       use_clahe=use_clahe)
+                       use_clahe=use_clahe, orient=orient)
         gray = img if img.ndim == 2 else None
         from sudoku_vision_tpu import ops
         gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
@@ -141,8 +148,10 @@ def run_pipeline(
     img = (load_bgr(image_path_or_array)
            if isinstance(image_path_or_array, str) else
            np.asarray(image_path_or_array))
-    fn, _ = _jitted_graph(*img.shape, config.model) if img.ndim == 3 else \
-        _jitted_graph(*img.shape, 1, config.model)
+    orient = "auto" if config.auto_orient else "fixed"
+    fn, _ = (_jitted_graph(*img.shape, config.model, orient)
+             if img.ndim == 3 else
+             _jitted_graph(*img.shape, 1, config.model, orient))
 
     t1 = time.perf_counter()
     out, quality = fn(jnp.asarray(img))
@@ -162,6 +171,7 @@ def run_pipeline(
                     digits, conf, config.confidence_threshold),
                 corners=corners, quality=qdict,
                 quality_feedback=get_user_feedback(quality),
+                orientation=int(out.orientation),
                 time_graph=t2 - t1)
 
     if not found:

@@ -157,7 +157,7 @@ class InferenceEngine:
     def __init__(self, model_name: str = "v3",
                  canonical: tuple[int, int] = DEFAULT_CANONICAL,
                  buckets=(1, 2, 4, 8), window_ms: float = 6.0,
-                 prewarm: bool = True):
+                 prewarm: bool = True, orient: str = "fixed"):
         import jax
 
         from sudoku_vision_tpu.pipeline.run_v2 import load_model
@@ -165,6 +165,9 @@ class InferenceEngine:
         (self.model, self.variables, self.temperature, self.ckpt,
          self.use_clahe) = load_model(model_name)
         self.canonical = canonical
+        # "auto" classifies all 4 quarter-turn readings (sideways /
+        # upside-down phones) for ~3 extra CNN passes per frame.
+        self.orient = orient
         self._fns: dict[int, object] = {}
         self._fn_lock = threading.Lock()
         self._warm: set[int] = set()
@@ -205,13 +208,16 @@ class InferenceEngine:
 
                 fn, _ = sharded_perceive_fn(
                     model, variables, self.mesh,
-                    temperature=self.temperature, use_clahe=uc)
+                    temperature=self.temperature, use_clahe=uc,
+                    orient=self.orient)
             else:
+                orient = self.orient
+
                 @jax.jit
                 def fn(imgs):
                     out = jax.vmap(lambda im: perceive(
                         im, model, variables, temperature=t,
-                        use_clahe=uc))(imgs)
+                        use_clahe=uc, orient=orient))(imgs)
                     return (out.digits, out.confidence, out.probs,
                             out.corners, out.grid_found)
 
@@ -399,6 +405,9 @@ def main(argv=None) -> int:
     p.add_argument("--window-ms", type=float, default=6.0)
     p.add_argument("--buckets", default="1,2,4,8")
     p.add_argument("--no-prewarm", action="store_true")
+    p.add_argument("--orient", choices=("fixed", "auto"), default="fixed",
+                   help="auto = classify all 4 quarter-turn readings "
+                        "(sideways/upside-down phones)")
     args = p.parse_args(argv)
     canonical = DEFAULT_CANONICAL
     if args.canonical:
@@ -407,7 +416,8 @@ def main(argv=None) -> int:
     engine = InferenceEngine(
         args.model, canonical=canonical,
         buckets=tuple(int(b) for b in args.buckets.split(",")),
-        window_ms=args.window_ms, prewarm=not args.no_prewarm)
+        window_ms=args.window_ms, prewarm=not args.no_prewarm,
+        orient=args.orient)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(engine))
     print(f"serving on http://{args.host}:{args.port} "
