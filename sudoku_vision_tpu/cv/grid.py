@@ -380,9 +380,16 @@ def order_corners(pts: jnp.ndarray) -> jnp.ndarray:
 
 
 def _box_sum_u8(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Separable windowed count of a bool mask in uint8 (valid for
-    k*k <= 255), zero padding. 4x less memory traffic than _box_sum."""
+    """Windowed count of a bool mask in uint8 (valid for k*k <= 255),
+    zero padding. All call sites are detect-pyramid scale (<=1024), so
+    this rides the MXU band engine (ops/bandconv.py) — counts of a 0/1
+    mask are exact in f32 far beyond k=15."""
     assert k * k <= 255, k
+    from sudoku_vision_tpu.ops.bandconv import band_filter_int
+
+    if max(x.shape[-2], x.shape[-1]) <= 1024:
+        return band_filter_int(x.astype(jnp.uint8), tuple([1] * k),
+                               "constant", max_abs_in=1).astype(jnp.uint8)
     pads = (k // 2, k - 1 - k // 2)
     y = jax.lax.reduce_window(
         x.astype(jnp.uint8), jnp.uint8(0), jax.lax.add, (1, k), (1, 1),
@@ -392,7 +399,14 @@ def _box_sum_u8(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _box_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Separable windowed sum (float32), zero padding."""
+    """Separable windowed sum (float32) of a 0/1 mask, zero padding.
+    MXU band engine at detect-pyramid sizes (exact: k^2 < 2^24)."""
+    from sudoku_vision_tpu.ops.bandconv import band_filter_int
+
+    if max(x.shape[-2], x.shape[-1]) <= 1024:
+        return band_filter_int(x.astype(jnp.uint8), tuple([1] * k),
+                               "constant", max_abs_in=1
+                               ).astype(jnp.float32)
     pads = (k // 2, k - 1 - k // 2)
     y = jax.lax.reduce_window(
         x.astype(jnp.float32), 0.0, jax.lax.add, (1, k), (1, 1),

@@ -58,17 +58,33 @@ def _pad2d(x: jnp.ndarray, pad: int, border: str) -> jnp.ndarray:
 
 
 def sep_filter_int(
-    x: jnp.ndarray, taps: tuple[int, ...], border: str = "reflect101"
+    x: jnp.ndarray, taps: tuple[int, ...], border: str = "reflect101",
+    max_abs_in: int | None = None,
 ) -> jnp.ndarray:
     """Separable integer filter; returns the raw int32 accumulator.
 
     Correlates the last two axes with `taps` (odd length). The caller is
-    responsible for descaling. VPU-only: K slice-MACs per axis.
+    responsible for descaling.
+
+    Engine dispatch: small maps (detect-pyramid scale) with a provable
+    exactness bound route to the MXU band-matmul engine
+    (ops/bandconv.py — bit-identical, ~3x faster at 912x684, measured in
+    tools/profile_detect.py); everything else runs the K-slice-MAC VPU
+    chain. max_abs_in defaults to 255 for uint8 inputs; pass it
+    explicitly for wider inputs that are still small enough to qualify.
     """
+    h, w = x.shape[-2], x.shape[-1]
+    if max_abs_in is None and x.dtype == jnp.uint8:
+        max_abs_in = 255
+    s = sum(abs(t) for t in taps)
+    if (max_abs_in is not None and max_abs_in * s * s < (1 << 24)
+            and max(h, w) <= 1024):
+        from sudoku_vision_tpu.ops.bandconv import band_filter_int
+
+        return band_filter_int(x, tuple(taps), border, max_abs_in)
     k = len(taps)
     pad = k // 2
     xp = _pad2d(x.astype(jnp.int32), pad, border)
-    h, w = x.shape[-2], x.shape[-1]
     rows = sum(taps[i] * xp[..., :, i:i + w] for i in range(k))
     out = sum(taps[i] * rows[..., i:i + h, :] for i in range(k))
     return out
@@ -126,8 +142,10 @@ def box_mean_var_f32(
     """Local mean and variance (float32) — the Sauvola building block."""
     area = float(ksize * ksize)
     xi = x.astype(jnp.int32)
-    s1 = sep_filter_int(xi, tuple([1] * ksize), border).astype(jnp.float32)
-    s2 = sep_filter_int(xi * xi, tuple([1] * ksize), border).astype(jnp.float32)
+    s1 = sep_filter_int(xi, tuple([1] * ksize), border,
+                        max_abs_in=255).astype(jnp.float32)
+    s2 = sep_filter_int(xi * xi, tuple([1] * ksize), border,
+                        max_abs_in=255 * 255).astype(jnp.float32)
     mean = s1 / area
     var = jnp.maximum(s2 / area - mean * mean, 0.0)
     return mean, var

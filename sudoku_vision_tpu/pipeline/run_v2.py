@@ -53,6 +53,11 @@ class PipelineConfig:
     # cv/grid_v2.py:346, handles small angles only). ~3 extra CNN passes
     # on the 81-cell batch per image.
     auto_orient: bool = True
+    # Pyramid levels for grid detection / cell sampling (px of the long
+    # side). Smaller detect_width = faster detection; see
+    # pipeline/graph.py::perceive for the accuracy tradeoffs.
+    detect_width: int = 950
+    cell_width: int = 950
 
 
 @dataclass
@@ -102,9 +107,10 @@ def load_model(model_name: str = "v3"):
     return model, variables, temperature, name, use_clahe
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def _jitted_graph(h: int, w: int, channels: int, model_name: str,
-                  orient: str = "fixed"):
+                  orient: str = "fixed", detect_width: int = 950,
+                  cell_width: int = 950):
     model, variables, temperature, ckpt_name, use_clahe = load_model(
         model_name)
 
@@ -112,7 +118,8 @@ def _jitted_graph(h: int, w: int, channels: int, model_name: str,
     def fn(img):
         out = perceive(img, model, variables,
                        temperature=jnp.float32(temperature),
-                       use_clahe=use_clahe, orient=orient)
+                       use_clahe=use_clahe, orient=orient,
+                       detect_width=detect_width, cell_width=cell_width)
         gray = img if img.ndim == 2 else None
         from sudoku_vision_tpu import ops
         gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
@@ -149,9 +156,9 @@ def run_pipeline(
            if isinstance(image_path_or_array, str) else
            np.asarray(image_path_or_array))
     orient = "auto" if config.auto_orient else "fixed"
-    fn, _ = (_jitted_graph(*img.shape, config.model, orient)
-             if img.ndim == 3 else
-             _jitted_graph(*img.shape, 1, config.model, orient))
+    shape = img.shape if img.ndim == 3 else (*img.shape, 1)
+    fn, _ = _jitted_graph(*shape, config.model, orient,
+                          config.detect_width, config.cell_width)
 
     t1 = time.perf_counter()
     out, quality = fn(jnp.asarray(img))

@@ -74,7 +74,7 @@ def _stage_fns(model, variables, use_clahe):
         ])
         cells = extract_cells(small, m_inv_small, 450, 28,
                               boundaries_y=b_y, boundaries_x=b_x,
-                              sample_mode="nearest")
+                              sample_mode="scanline")
         return cells
 
     def cells_fn(img):
@@ -120,14 +120,31 @@ def main():
                        for o in jax.tree.leaves(out))
 
         jf = jax.jit(_sum)
-        out = jf(stack)  # compile
-        jax.tree.map(np.asarray, out)
-        n_iter = 8
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = jf(stack)
-            jax.tree.map(np.asarray, out)
-        dt = (time.perf_counter() - t0) / n_iter
+        np.asarray(jf(stack))  # compile + settle
+
+        def window(seconds: float = 2.0) -> float:
+            """Pipelined fetch-timed window (same scheme as bench.py,
+            but deeper): with D results in flight the measurement floor
+            is round_trip_latency/D (~25 ms tunnel round-trip / 10 =
+            0.08 ms/frame at batch 32); cheap prefixes read as that
+            floor with a shallow pipeline."""
+            inflight = [jf(stack) for _ in range(10)]
+            for r in inflight:
+                r.copy_to_host_async()
+            t0 = time.perf_counter()
+            iters = 0
+            while time.perf_counter() - t0 < seconds or iters < 3:
+                r = jf(stack)
+                r.copy_to_host_async()
+                inflight.append(r)
+                np.asarray(inflight.pop(0))
+                iters += 1
+            for r in inflight:
+                np.asarray(r)
+                iters += 1
+            return (time.perf_counter() - t0) / iters
+
+        dt = min(window() for _ in range(3))
         ms = dt / batch * 1e3
         print(f"{name:16s} cum {ms:7.3f} ms/frame   stage {ms - prev:7.3f}")
         prev = ms

@@ -370,3 +370,64 @@ def test_bilinear_sample_interior_matches_remap():
     got = np.asarray(bilinear_sample_u8(
         jnp.asarray(img), jnp.asarray(mx), jnp.asarray(my)))
     assert np.array_equal(got, want)
+
+
+# --- MXU band-matmul filter engine ------------------------------------------
+
+
+@pytest.mark.parametrize("border", ["reflect101", "replicate"])
+@pytest.mark.parametrize("taps_kind", ["gauss5", "gauss11", "box9", "box31"])
+def test_band_filter_matches_slice_mac(taps_kind, border):
+    """ops/bandconv.py band_filter_int must be bit-identical to the
+    slice-MAC reference (filters.sep_filter_int) — same integer
+    accumulator, borders folded into the band matrix."""
+    from sudoku_vision_tpu.ops.bandconv import band_filter_int
+    from sudoku_vision_tpu.ops.filters import (
+        gaussian_kernel_fixed, sep_filter_int,
+    )
+
+    taps = {
+        "gauss5": gaussian_kernel_fixed(5),
+        "gauss11": gaussian_kernel_fixed(11),
+        "box9": tuple([1] * 9),
+        "box31": tuple([1] * 31),
+    }[taps_kind]
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, 256, (97, 131), np.uint8))
+    # int32 input without a max_abs_in hint forces the slice-MAC VPU
+    # path (sep_filter_int auto-dispatches uint8 to the band engine).
+    want = np.asarray(sep_filter_int(x.astype(jnp.int32), taps, border))
+    got = np.asarray(band_filter_int(x, taps, border))
+    assert (want == got).all(), np.abs(want - got).max()
+
+
+def test_band_filter_batched_matches():
+    from sudoku_vision_tpu.ops.bandconv import band_filter_int
+    from sudoku_vision_tpu.ops.filters import (
+        gaussian_kernel_fixed, sep_filter_int,
+    )
+
+    taps = gaussian_kernel_fixed(5)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(0, 256, (3, 64, 80), np.uint8))
+    want = np.asarray(sep_filter_int(x.astype(jnp.int32), taps,
+                                     "reflect101"))
+    got = np.asarray(band_filter_int(x, taps, "reflect101"))
+    assert (want == got).all()
+
+
+def test_band_filter_constant_border():
+    """constant-0 border (grid.py box sums): out-of-range taps drop."""
+    from sudoku_vision_tpu.ops.bandconv import band_filter_int
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 2, (40, 56), np.uint8)
+    k = 9
+    want = np.zeros((40, 56), np.int64)
+    xp = np.pad(x.astype(np.int64), k // 2)
+    for dy in range(k):
+        for dx in range(k):
+            want += xp[dy:dy + 40, dx:dx + 56]
+    got = np.asarray(band_filter_int(jnp.asarray(x), tuple([1] * k),
+                                     "constant"))
+    assert (want == got).all()
