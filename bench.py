@@ -54,10 +54,16 @@ def main() -> int:
     @jax.jit
     def fn(imgs):
         out = jax.vmap(lambda im: perceive(
-            im, model, variables, use_clahe=use_clahe))(imgs)
+            im, model, variables, use_clahe=use_clahe,
+            packed_bgr=True))(imgs)
         return out.digits, out.confidence, out.corners, out.grid_found
 
-    dev_stack = jax.device_put(jnp.asarray(stack))
+    # Row-packed BGR (H, W*3): the decoder's raw byte order — a free
+    # host reshape that lands on device in the layout the Pallas
+    # gray+pool kernel streams (a device-side reshape would retile at
+    # 0.17 ms/frame; see ops/pallas_pool.py).
+    b, gh, gw, _ = stack.shape
+    dev_stack = jax.device_put(jnp.asarray(stack.reshape(b, gh, gw * 3)))
     # Warmup / compile. Timing MUST fetch results to host:
     # jax.block_until_ready is a no-op through the axon tunnel, so the
     # loop below pulls the digit tensor back each iteration (that copy

@@ -28,9 +28,11 @@ from sudoku_vision_tpu.pipeline.graph import perceive
 
 def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
                         temperature=None, use_clahe: bool = True,
-                        orient: str = "fixed"):
-    """Build (fn, mesh): fn maps (N, H, W, 3) uint8 -> perception outputs,
-    with frames sharded over the mesh's "data" axis.
+                        orient: str = "fixed", packed_bgr: bool = False):
+    """Build (fn, mesh): fn maps (N, H, W, 3) uint8 — or row-packed
+    (N, H, W*3) when packed_bgr=True, the Pallas fast layout (see
+    ops/pallas_pool.py) — to perception outputs, with frames sharded
+    over the mesh's "data" axis.
 
     N must be divisible by the data-axis size (serving pads its batch
     buckets to guarantee this). Params are replicated; outputs come back
@@ -50,7 +52,8 @@ def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
     def fn(imgs):
         out = jax.vmap(
             lambda im: perceive(im, model, variables, temperature=t,
-                                use_clahe=use_clahe, orient=orient)
+                                use_clahe=use_clahe, orient=orient,
+                                packed_bgr=packed_bgr)
         )(imgs)
         return (out.digits, out.confidence, out.probs, out.corners,
                 out.grid_found)

@@ -62,13 +62,16 @@ def main(argv=None) -> int:
         shape = frames[0].shape
         frames = [f for f in frames if f.shape == shape]
         reps = -(-args.batch // len(frames))
-        stack = jnp.asarray(np.stack((frames * reps)[:args.batch]))
+        host = np.stack((frames * reps)[:args.batch])
+        b, fh, fw = host.shape[:3]
+        stack = jnp.asarray(host.reshape(b, fh, fw * 3))  # packed BGR
         model = DigitCNNv3()
         variables = ckpt.load_variables_or_none("digit_cnn_v3")
 
         @jax.jit
         def fn(imgs):
-            out = jax.vmap(lambda im: perceive(im, model, variables))(imgs)
+            out = jax.vmap(lambda im: perceive(
+                im, model, variables, packed_bgr=True))(imgs)
             return out.digits
 
         # Fetch-timed: block_until_ready is a no-op through the axon

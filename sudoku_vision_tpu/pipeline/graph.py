@@ -52,8 +52,17 @@ def perceive(
     cell_width: int = 950,
     sample_mode: str = "scanline",
     orient: str = "fixed",
+    packed_bgr: bool = False,
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray.
+
+    packed_bgr=True takes the frame as ROW-PACKED BGR (H, W*3) uint8 —
+    the raw decoder byte order, a free np.reshape on host — and routes
+    the gray+pool stage through the Pallas streaming kernel
+    (ops/pallas_pool.py). This is the hot serving layout: a
+    device-side (H, W, 3) -> (H, W*3) reshape would retile the minor
+    dims at 0.17 ms/frame, so batched callers (bench.py, serve,
+    video) pack on host instead.
 
     orient="auto" adds full 360-deg rotation coverage: the line-lattice
     detector is rotation-complete (the two perpendicular line families
@@ -82,11 +91,21 @@ def perceive(
     was likewise rejected: grid lines drop below 1 px at ds=8 and the
     lattice collapses.)
     """
-    if img.ndim == 3:
-        gh, gw = img.shape[:2]
+    if img.ndim == 3 or packed_bgr:
+        if packed_bgr:
+            assert img.ndim == 2 and img.shape[1] % 3 == 0, img.shape
+            gh, gw = img.shape[0], img.shape[1] // 3
+            from sudoku_vision_tpu.ops.pallas_pool import \
+                pooled_gray_packed
+
+            def pool(x, f):
+                return pooled_gray_packed(x, f)
+        else:
+            gh, gw = img.shape[:2]
+            pool = ops.pooled_gray
         ds_det0 = max(1, round(max(gh, gw) / detect_width))
         ds_cell = max(1, round(max(gh, gw) / cell_width))
-        gray_det = ops.pooled_gray(img, ds_det0)
+        gray_det = pool(img, ds_det0)
         # The detector's constants were calibrated on ~950-px pooled
         # frames; rescale them by the ACHIEVED pooling ratio vs that
         # baseline (for small inputs both targets give ds=1 — the image
@@ -97,7 +116,7 @@ def perceive(
         ds_det = ds_det0 * ds_inner
         # Cells sample a finer level (XLA CSEs the two pools if equal).
         small = (gray_det if ds_cell == ds_det0
-                 else ops.pooled_gray(img, ds_cell))
+                 else pool(img, ds_cell))
         ds = ds_cell
         # Corners come back in gray_det coords; lift to full-res.
         det = det._replace(

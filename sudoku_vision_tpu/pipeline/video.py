@@ -54,7 +54,7 @@ def _jitted_chunk(t: int, h: int, w: int, c: int, model_name: str):
     def fn(frames):
         out = jax.vmap(lambda im: perceive(
             im, model, variables, temperature=jnp.float32(temperature),
-            use_clahe=use_clahe))(frames)
+            use_clahe=use_clahe, packed_bgr=True))(frames)
         stab = stabilize_sequence(out.corners, out.grid_found)
         return out.digits, out.confidence, out.grid_found, stab
 
@@ -70,7 +70,9 @@ def process_frames(
     t, h, w, c = frames.shape
     fn = _jitted_chunk(t, h, w, c, model_name)
     t0 = time.perf_counter()
-    digits_d, conf_d, found_d, stab = fn(jnp.asarray(frames))
+    # Host-packed BGR rows: the Pallas gray+pool streaming layout.
+    digits_d, conf_d, found_d, stab = fn(
+        jnp.asarray(frames.reshape(t, h, w * 3)))
     digits = np.asarray(digits_d)
     found = np.asarray(found_d)
     corners_s = np.asarray(stab.corners)

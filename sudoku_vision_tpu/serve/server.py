@@ -209,7 +209,7 @@ class InferenceEngine:
                 fn, _ = sharded_perceive_fn(
                     model, variables, self.mesh,
                     temperature=self.temperature, use_clahe=uc,
-                    orient=self.orient)
+                    orient=self.orient, packed_bgr=True)
             else:
                 orient = self.orient
 
@@ -217,7 +217,8 @@ class InferenceEngine:
                 def fn(imgs):
                     out = jax.vmap(lambda im: perceive(
                         im, model, variables, temperature=t,
-                        use_clahe=uc, orient=orient))(imgs)
+                        use_clahe=uc, orient=orient,
+                        packed_bgr=True))(imgs)
                     return (out.digits, out.confidence, out.probs,
                             out.corners, out.grid_found)
 
@@ -228,9 +229,11 @@ class InferenceEngine:
         """(B, H, W, 3) uint8 -> tuple of host np arrays (one device call)."""
         import jax.numpy as jnp
 
-        b = frames.shape[0]
+        b, fh, fw = frames.shape[:3]
         fn = self._fn_for(b)
-        dev = jnp.asarray(frames)
+        # Row-packed BGR: free on the host ndarray, lands on device in
+        # the Pallas gray+pool streaming layout (ops/pallas_pool.py).
+        dev = jnp.asarray(frames.reshape(b, fh, fw * 3))
         if self.mesh is not None:
             from sudoku_vision_tpu.parallel.shard import device_put_frames
 

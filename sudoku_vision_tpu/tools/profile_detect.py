@@ -69,9 +69,13 @@ def main():
 
     gh, gw = shape[:2]
     ds0 = max(1, round(max(gh, gw) / 950))
+    stack = stack.reshape(batch, gh, gw * 3)  # packed-BGR serving layout
+    stack = jax.device_put(jnp.asarray(np.asarray(stack)))
+
+    from sudoku_vision_tpu.ops.pallas_pool import pooled_gray_packed
 
     def pooled(imgs):
-        return jax.vmap(lambda im: ops.pooled_gray(im, ds0))(imgs)
+        return jax.vmap(lambda im: pooled_gray_packed(im, ds0))(imgs)
 
     small = jax.jit(pooled)(stack)
     small = jax.device_put(np.asarray(small))  # settle as concrete input
@@ -188,7 +192,7 @@ def main():
 
     def full(imgs):
         return jax.vmap(lambda im: G.detect_grid_full(
-            ops.pooled_gray(im, ds0))[0].corners)(imgs)
+            pooled_gray_packed(im, ds0))[0].corners)(imgs)
 
     t("detect_grid_full e2e", full, stack)
     return 0

@@ -33,24 +33,24 @@ from sudoku_vision_tpu.cv.grid import detect_grid_full
 
 
 def _stage_fns(model, variables, use_clahe):
-    """Return [(name, fn)] where each fn computes a prefix of perceive."""
+    """Return [(name, fn)] where each fn computes a prefix of perceive.
+    Frames arrive row-packed (H, W*3) — the bench/serving layout."""
+    from sudoku_vision_tpu.ops.pallas_pool import pooled_gray_packed
 
     def pool(img):
-        gh, gw = img.shape[:2]
+        gh, gw = img.shape[0], img.shape[1] // 3
         ds0 = max(1, round(max(gh, gw) / 950))
-        return ops.pooled_gray(img, ds0)
+        return pooled_gray_packed(img, ds0)
 
     def detect(img):
-        gh, gw = img.shape[:2]
-        ds0 = max(1, round(max(gh, gw) / 950))
-        gray_small = ops.pooled_gray(img, ds0)
+        gray_small = pool(img)
         det, lat_h, lat_v, ds_inner, small = detect_grid_full(gray_small)
         return det.corners, lat_h, lat_v
 
     def _common(img):
-        gh, gw = img.shape[:2]
+        gh, gw = img.shape[0], img.shape[1] // 3
         ds0 = max(1, round(max(gh, gw) / 950))
-        gray_small = ops.pooled_gray(img, ds0)
+        gray_small = pool(img)
         det, lat_h, lat_v, ds_inner, small = detect_grid_full(gray_small)
         ds_det = ds0 * ds_inner
         det = det._replace(corners=det.corners * float(ds0) + (ds0 - 1) / 2.0)
@@ -105,7 +105,9 @@ def main():
     shape = frames[0].shape
     frames = [f for f in frames if f.shape == shape]
     reps = -(-batch // len(frames))
-    stack = jax.device_put(jnp.asarray(np.stack((frames * reps)[:batch])))
+    host = np.stack((frames * reps)[:batch])
+    b, fh, fw = host.shape[:3]
+    stack = jax.device_put(jnp.asarray(host.reshape(b, fh, fw * 3)))
 
     model, variables, temperature, _, use_clahe = load_model("v3")
 
