@@ -13,6 +13,17 @@
 
 #include "sudoku.h"
 
+// wasm_api.cpp exports (plain C symbols; EMSCRIPTEN_KEEPALIVE no-ops
+// outside emscripten so the JS contract is testable natively).
+extern "C" {
+void set_cell(int row, int col, int value);
+int get_cell(int row, int col);
+void clear_grid(void);
+int solve(void);
+int is_valid(void);
+int cell_candidates(int row, int col);
+}
+
 static int g_tests = 0, g_failures = 0;
 
 #define CHECK(name, cond)                                         \
@@ -298,6 +309,42 @@ void test_file_io() {
   std::remove(path);
 }
 
+void test_wasm_api() {
+  // The browser-facing surface (src/wasm_api.cpp): build the easy
+  // puzzle cell by cell, solve, read back — the exact call sequence
+  // the scanner page's JS glue makes (reference solver/src/wasm_api.c).
+  int32_t g[81], want[81];
+  parse81(kEasy, g);
+  parse81(kEasySolution, want);
+  clear_grid();
+  CHECK("wasm cleared", get_cell(4, 4) == 0);
+  for (int r = 0; r < 9; ++r)
+    for (int c = 0; c < 9; ++c) set_cell(r, c, g[r * 9 + c]);
+  CHECK("wasm is_valid", is_valid() == 1);
+  CHECK("wasm solve rc", solve() == 1);
+  for (int r = 0; r < 9; ++r)
+    for (int c = 0; c < 9; ++c)
+      if (get_cell(r, c) != want[r * 9 + c]) {
+        CHECK("wasm solution cell", false);
+        r = c = 9;
+      }
+  // Out-of-range reads/writes are rejected, not UB.
+  CHECK("wasm oob read", get_cell(9, 0) == -1);
+  set_cell(-1, 0, 5);
+  // Invalid grid (duplicate in row) -> is_valid 0, solve -1.
+  clear_grid();
+  set_cell(0, 0, 5);
+  set_cell(0, 1, 5);
+  CHECK("wasm invalid", is_valid() == 0);
+  CHECK("wasm solve invalid", solve() == -1);
+  // Candidates: empty row with a 5 at (0,0) -> (0,2) cannot be 5.
+  clear_grid();
+  set_cell(0, 0, 5);
+  int m = cell_candidates(0, 2);
+  CHECK("wasm cands exclude", (m & (1 << 5)) == 0);
+  CHECK("wasm cands include", (m & (1 << 6)) != 0);
+}
+
 void test_format() {
   int32_t g[81];
   parse81(kEasy, g);
@@ -324,6 +371,7 @@ int main() {
   test_performance();
   test_file_io();
   test_format();
+  test_wasm_api();
 
   std::printf("%d tests, %d failures\n", g_tests, g_failures);
   return g_failures == 0 ? 0 : 1;

@@ -268,16 +268,82 @@ def verify_onnx(path: str) -> bool:
     return True
 
 
-def convert_to_coreml(*args, **kwargs):
-    """CoreML conversion (reference ml/convert_coreml.py:18). Gated:
-    coremltools is not installed in this environment."""
+def build_torch_mirror(ckpt_name: str, model_name: str,
+                       fold_temperature: bool = True):
+    """Verified eval-mode torch mirror of a flax checkpoint (the shared
+    front half of the ONNX / TorchScript / CoreML exporters)."""
+    import torch
+
+    from sudoku_vision_tpu.ml import checkpoint as ckpt
+    from sudoku_vision_tpu.models import DigitCNN, DigitCNNv3
+
+    variables = ckpt.load_variables_or_none(ckpt_name)
+    if variables is None:
+        raise FileNotFoundError(ckpt_name)
+    temperature = None
+    if model_name == "v3":
+        meta = ckpt.load_metadata(ckpt_name) or {}
+        if fold_temperature:
+            temperature = meta.get("temperature")
+        tm = _copy_v3_weights(_build_torch_v3(), variables, temperature)
+        want_fn = lambda x: DigitCNNv3().apply(  # noqa: E731
+            variables, x, temperature=temperature if temperature else None)
+    elif model_name == "v1":
+        tm = _copy_v1_weights(_build_torch_v1(), variables["params"])
+        want_fn = lambda x: DigitCNN().apply(variables, x)  # noqa: E731
+    else:
+        raise NotImplementedError(model_name)
+    tm.eval()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 28, 28, 1)).astype(np.float32)
+    want = np.asarray(want_fn(jnp.asarray(x)))
+    with torch.no_grad():
+        got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    err = np.abs(want - got).max()
+    assert err < 0.05, f"torch mirror mismatch: {err}"
+    return tm
+
+
+def convert_to_coreml(ckpt_name: str, model_name: str, out_path: str,
+                      fold_temperature: bool = True) -> str:
+    """Checkpoint -> CoreML .mlpackage (reference ml/convert_coreml.py:18
+    capability: trace the torch model, ct.convert to an ML Program with
+    a (1, 1, 28, 28) float32 input, annotate metadata, save).
+
+    Runs on any host with coremltools installed (it is not in this CI
+    image — the import is the only gate; everything else is exercised
+    up to the trace by the ONNX tests, which share build_torch_mirror).
+    """
     try:
-        import coremltools  # noqa: F401
+        import coremltools as ct
     except ImportError as e:
         raise RuntimeError(
             "coremltools is not available in this environment; run the "
             "export on a host with coremltools installed") from e
-    raise NotImplementedError
+    import torch
+
+    tm = build_torch_mirror(ckpt_name, model_name, fold_temperature)
+    traced = torch.jit.trace(tm, torch.zeros(1, 1, 28, 28))
+    mlmodel = ct.convert(
+        traced,
+        inputs=[ct.TensorType(name="input", shape=(1, 1, 28, 28),
+                              dtype=np.float32)],
+        outputs=[ct.TensorType(name="logits", dtype=np.float32)],
+        minimum_deployment_target=ct.target.iOS17,
+        convert_to="mlprogram",
+    )
+    mlmodel.short_description = (
+        "Sudoku digit classifier (28x28 grayscale -> 10 logits)")
+    mlmodel.input_description["input"] = (
+        "28x28 preprocessed cell as [1, 1, 28, 28] float32, the pipeline's "
+        "canonical normalization (see cv/extract.py "
+        "preprocess_cells_for_model)")
+    mlmodel.output_description["logits"] = (
+        "10 class logits (0 = empty-style zero, 1-9 = digits); "
+        "temperature already folded when the checkpoint provides one")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    mlmodel.save(out_path)
+    return out_path
 
 
 def main(argv=None) -> int:
@@ -286,9 +352,13 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="v1")
     p.add_argument("--out", required=True)
     p.add_argument("--opset", type=int, default=13)
+    p.add_argument("--format", choices=("onnx", "coreml"), default="onnx")
     args = p.parse_args(argv)
-    path = export_to_onnx(args.ckpt, args.model, args.out, args.opset)
-    verify_onnx(path)
+    if args.format == "coreml":
+        path = convert_to_coreml(args.ckpt, args.model, args.out)
+    else:
+        path = export_to_onnx(args.ckpt, args.model, args.out, args.opset)
+        verify_onnx(path)
     print(f"exported to {path}")
     return 0
 

@@ -120,3 +120,16 @@ def test_v3_torch_mirror_matches_flax():
         with torch.no_grad():
             got = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_coreml_converter_gated():
+    """convert_to_coreml is a complete converter whose only gate is the
+    coremltools import (absent in this image): it must fail with the
+    clear environment error, not NotImplementedError."""
+    import pytest
+
+    from sudoku_vision_tpu.ml.export import convert_to_coreml
+
+    with pytest.raises(RuntimeError, match="coremltools"):
+        convert_to_coreml("digit_cnn_v3_noclahe", "v3",
+                          "/tmp/never_written.mlpackage")
