@@ -48,7 +48,9 @@ CATEGORIES = (
     "cluttered",
     "newsprint",
     "facing_pages",
-    "rotated",   # photo rotated a quarter-turn multiple +- 30 deg
+    "rotated",      # photo rotated a quarter-turn multiple +- 30 deg
+    "handwritten",  # pen-filled grid: stroke-rendered digits, uneven ink
+    "screen",       # photographed display: backlight, cool tint, moire
 )
 
 
@@ -120,9 +122,13 @@ def _paper(rng: random.Random, h: int, w: int, newsprint: bool) -> np.ndarray:
 
 
 def render_page(puzzle: np.ndarray, rng: random.Random, grid_px: int = 360,
-                newsprint: bool = False):
+                newsprint: bool = False, handwritten: bool = False):
     """Render the puzzle page. Returns (page float (H, W), corners (4, 2)
-    of the grid outline in page coords, tl/tr/br/bl order)."""
+    of the grid outline in page coords, tl/tr/br/bl order).
+
+    handwritten=True draws the digits as jittered pen strokes
+    (ml/stroke_digits.py) with per-digit ink variation instead of a
+    system font — the filled-in-by-hand puzzle class."""
     margin = int(grid_px * rng.uniform(0.10, 0.25))
     page_w = grid_px + 2 * margin
     page_h = grid_px + 2 * margin + int(grid_px * rng.uniform(0, 0.3))
@@ -141,26 +147,47 @@ def render_page(puzzle: np.ndarray, rng: random.Random, grid_px: int = 360,
         y = oy + round(i * cell)
         draw.line([(x, oy), (x, oy + grid_px)], fill=int(ink), width=wdt)
         draw.line([(ox, y), (ox + grid_px, y)], fill=int(ink), width=wdt)
-    fonts = find_available_fonts() or [None]
-    font_path = rng.choice(fonts)
-    fsize = int(cell * rng.uniform(0.55, 0.72))
-    try:
-        font = ImageFont.truetype(font_path, fsize)
-    except (OSError, TypeError):
-        font = ImageFont.load_default()
-    for r in range(9):
-        for c in range(9):
-            d = int(puzzle[r, c])
-            if d == 0:
-                continue
-            cx = ox + (c + 0.5) * cell
-            cy = oy + (r + 0.5) * cell
-            bbox = draw.textbbox((0, 0), str(d), font=font)
-            tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
-            jx = rng.uniform(-0.05, 0.05) * cell
-            jy = rng.uniform(-0.05, 0.05) * cell
-            draw.text((cx - tw / 2 - bbox[0] + jx, cy - th / 2 - bbox[1] + jy),
-                      str(d), fill=int(ink * rng.uniform(0.8, 1.2)), font=font)
+    if handwritten:
+        from sudoku_vision_tpu.ml.stroke_digits import render_stroke_digit
+
+        arr = np.asarray(pil, np.float32)
+        ds = int(cell * 0.92)
+        for r in range(9):
+            for c in range(9):
+                d = int(puzzle[r, c])
+                if d == 0:
+                    continue
+                mask = render_stroke_digit(d, ds, rng)
+                y0 = oy + round(r * cell + (cell - ds) / 2
+                                + rng.uniform(-0.04, 0.04) * cell)
+                x0 = ox + round(c * cell + (cell - ds) / 2
+                                + rng.uniform(-0.04, 0.04) * cell)
+                pen = rng.uniform(25, 85)  # ballpoint/pencil variation
+                reg = arr[y0:y0 + ds, x0:x0 + ds]
+                reg[:] = reg * (1 - mask) + pen * mask
+        pil = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+    else:
+        fonts = find_available_fonts() or [None]
+        font_path = rng.choice(fonts)
+        fsize = int(cell * rng.uniform(0.55, 0.72))
+        try:
+            font = ImageFont.truetype(font_path, fsize)
+        except (OSError, TypeError):
+            font = ImageFont.load_default()
+        for r in range(9):
+            for c in range(9):
+                d = int(puzzle[r, c])
+                if d == 0:
+                    continue
+                cx = ox + (c + 0.5) * cell
+                cy = oy + (r + 0.5) * cell
+                bbox = draw.textbbox((0, 0), str(d), font=font)
+                tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+                jx = rng.uniform(-0.05, 0.05) * cell
+                jy = rng.uniform(-0.05, 0.05) * cell
+                draw.text(
+                    (cx - tw / 2 - bbox[0] + jx, cy - th / 2 - bbox[1] + jy),
+                    str(d), fill=int(ink * rng.uniform(0.8, 1.2)), font=font)
     corners = np.array([[ox, oy], [ox + grid_px, oy],
                         [ox + grid_px, oy + grid_px], [ox, oy + grid_px]],
                        np.float64)
@@ -241,7 +268,8 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
     short = min(h, w)
     gpx = grid_px or int(short * rng.uniform(0.55, 0.72))
     page, page_corners = render_page(
-        puzzle, rng, grid_px=gpx, newsprint=(category == "newsprint"))
+        puzzle, rng, grid_px=gpx, newsprint=(category == "newsprint"),
+        handwritten=(category == "handwritten"))
     if category == "facing_pages":
         # Open puzzle book: a decoy page with ANOTHER full sudoku grid
         # sits left of the target page across a shaded gutter (the
@@ -362,6 +390,26 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
         soft = 1.0 / (1.0 + np.exp(-d / (short * 0.03)))
         scene = scene * (rng.uniform(0.45, 0.7) + (1 - rng.uniform(
             0.45, 0.7)) * soft)[..., None]
+    elif category == "screen":
+        # Photographed display: raised black level / compressed
+        # contrast (backlight), cool tint, low-frequency moire beat
+        # bands (two near-frequency gratings) and a faint pixel-pitch
+        # grating. Amplitudes sit well inside what the 11-px adaptive
+        # threshold treats as smooth illumination.
+        scene = scene * rng.uniform(0.62, 0.75) + rng.uniform(35, 60)
+        scene *= np.array([rng.uniform(1.02, 1.08),   # B up (cool)
+                           1.0,
+                           rng.uniform(0.88, 0.96)],  # R down
+                          np.float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        ang = rng.uniform(0, 3.14)
+        u = xx * np.cos(ang) + yy * np.sin(ang)
+        f1 = rng.uniform(0.055, 0.085)
+        f2 = f1 + rng.uniform(0.008, 0.016)  # beat period ~60-125 px
+        moire = (np.sin(2 * np.pi * f1 * u) + np.sin(2 * np.pi * f2 * u))
+        scene = scene + (rng.uniform(3, 6) * moire)[..., None]
+        pitch = rng.uniform(2.6, 3.4)  # subpixel grating, mostly blurs out
+        scene = scene + (1.5 * np.sin(2 * np.pi * xx / pitch))[..., None]
     # Global blur + sensor noise.
     pil = Image.fromarray(np.clip(scene, 0, 255).astype(np.uint8))
     if rng.random() < 0.6:

@@ -213,6 +213,18 @@ def run_pipeline(
         work = res.grid
         corrections = res.corrections
         validation = validate_predictions(work)
+    if not validation.is_valid:
+        # Solver-backed escalation: beam alternatives are capped at
+        # prob >= 0.1 (reference parity); confidently-wrong reads need
+        # the solver's legality masks to surface the true digit (see
+        # reasoning/conflict_resolver.py::resolve_with_solver).
+        from sudoku_vision_tpu.reasoning import resolve_with_solver
+
+        esc = resolve_with_solver(work, probs)
+        if esc.success:
+            work = esc.grid
+            corrections = corrections + esc.corrections
+            validation = validate_predictions(work)
 
     status = None
     if not validation.is_valid:

@@ -117,3 +117,80 @@ def resolve_conflicts(
         remaining_conflicts=best.n_conflicts,
         paths_explored=explored,
     )
+
+
+def resolve_with_solver(
+    grid: np.ndarray,
+    probs: np.ndarray,
+    max_suspects: int = 6,
+    max_nodes: int = 512,
+    blank_prob: float = 1e-3,
+) -> ResolutionResult:
+    """Solver-backed escalation when the beam search fails.
+
+    The beam search (reference parity) only considers alternatives with
+    prob >= 0.1 — a CONFIDENTLY wrong read (e.g. a handwritten 1 with a
+    long flag classified 7 at p=0.93, the true digit at p=0.06) leaves
+    the grid invalid. This stage goes beyond the reference: the cells
+    implicated in conflicts are blanked, the native solver's candidate
+    masks give each suspect its LEGAL digits, and a tiny DFS over joint
+    reassignments (ordered by model probability, solvability-checked)
+    picks the most probable consistent reading. A suspect may also stay
+    blank (probability `blank_prob`) so an unreadable cell degrades to
+    "let the solver fill it" instead of failing the frame.
+
+    Runs only on grids the beam left invalid, so it can turn failures
+    into solves but never perturbs an already-valid reading.
+    """
+    from sudoku_vision_tpu import solver as native_solver
+
+    grid = np.asarray(grid).reshape(9, 9).copy()
+    probs = np.asarray(probs).reshape(81, 10)
+    base = validate_predictions(grid)
+    if base.is_valid:
+        return ResolutionResult(True, grid, [], 0, 0)
+    suspects = sorted(base.conflicted_cells)
+    if len(suspects) > max_suspects:
+        return ResolutionResult(False, grid, [], len(base.conflicts), 0)
+
+    blanked = grid.copy()
+    for (r, c) in suspects:
+        blanked[r, c] = 0
+    if not validate_predictions(blanked).is_valid:
+        return ResolutionResult(False, grid, [], len(base.conflicts), 0)
+
+    best_assign = None
+    best_logp = -np.inf
+    explored = 0
+    logp_cell = np.log(np.maximum(probs, 1e-12))
+    log_blank = float(np.log(blank_prob))
+
+    def dfs(i: int, work: np.ndarray, logp: float):
+        nonlocal best_assign, best_logp, explored
+        if explored >= max_nodes or logp <= best_logp:
+            return
+        if i == len(suspects):
+            test = work.copy()
+            explored += 1
+            if native_solver.solve(test).solved:
+                best_logp = logp
+                best_assign = work.copy()
+            return
+        r, c = suspects[i]
+        cands = native_solver.candidates(work)
+        mask = int(cands.reshape(9, 9)[r, c])
+        opts = [(float(logp_cell[r * 9 + c, d]), d)
+                for d in range(1, 10) if mask & (1 << d)]
+        opts.append((log_blank, 0))
+        for lp, d in sorted(opts, reverse=True):
+            work[r, c] = d
+            dfs(i + 1, work, logp + lp)
+            work[r, c] = 0
+
+    dfs(0, blanked.copy(), 0.0)
+    if best_assign is None:
+        return ResolutionResult(False, grid, [], len(base.conflicts), explored)
+    corrections = [((r, c), int(grid[r, c]), int(best_assign[r, c]))
+                   for (r, c) in suspects
+                   if int(best_assign[r, c]) != int(grid[r, c])]
+    return ResolutionResult(True, best_assign, corrections, 0, explored)

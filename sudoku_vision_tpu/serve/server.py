@@ -262,7 +262,7 @@ class InferenceEngine:
     def scan(self, img_bgr: np.ndarray, top_k: int = 3) -> dict:
         from sudoku_vision_tpu import solver as native_solver
         from sudoku_vision_tpu.reasoning import (
-            resolve_conflicts, validate_predictions,
+            resolve_conflicts, resolve_with_solver, validate_predictions,
         )
 
         t0 = time.perf_counter()
@@ -301,6 +301,12 @@ class InferenceEngine:
             if not validation.is_valid:
                 res = resolve_conflicts(digits, probs)
                 work = res.grid
+                if not res.success:
+                    # Solver-backed escalation for confidently-wrong
+                    # reads (alternatives below the beam's 0.1 floor).
+                    esc = resolve_with_solver(work, probs)
+                    if esc.success:
+                        work = esc.grid
                 corrected = not np.array_equal(work, digits)
             sres = native_solver.solve(work, timeout_s=5.0)
             result["corrected"] = corrected

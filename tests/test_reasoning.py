@@ -121,3 +121,62 @@ def test_try_value_speculative():
     assert spec.success
     # rr itself must be untouched by the speculation.
     assert rr.grid[0, 2] == 0
+
+
+def test_resolve_with_solver_confidently_wrong():
+    """Beam search can't fix alternatives below min_alt_prob; the
+    solver-backed escalation blanks the conflicted cells and picks the
+    most probable LEGAL joint reassignment (the handwritten 1-read-as-7
+    class of failure, scene_033)."""
+    import numpy as np
+
+    from sudoku_vision_tpu.reasoning import (
+        resolve_with_solver, validate_predictions,
+    )
+    from tests.test_solver import EASY
+
+    grid = np.asarray(EASY).reshape(9, 9).copy()
+    # Introduce a confidently-wrong duplicate: row 0 holds 5 at (0,0);
+    # overwrite the empty (0,2) with another 5.
+    assert grid[0, 0] == 5 and grid[0, 2] == 0
+    grid[0, 2] = 5
+    probs = np.zeros((81, 10), np.float32)
+    for i, d in enumerate(grid.reshape(-1)):
+        probs[i, d] = 0.93 if d else 1.0
+    # True reading of (0, 2) is empty/unknown; give digit 4 a small
+    # (sub-0.1) probability so only the escalation can surface it.
+    probs[2, 5] = 0.93
+    probs[2, 4] = 0.05
+    res = resolve_with_solver(grid, probs)
+    assert res.success
+    assert validate_predictions(res.grid).is_valid
+    # (0,0) keeps its 5; (0,2) was reassigned (4 is legal there) or
+    # blanked — either way the grid is consistent and solvable.
+    assert res.grid[0, 0] == 5
+    assert res.grid[0, 2] != 5
+    assert any(cell == (0, 2) for cell, _, _ in res.corrections)
+
+
+def test_resolve_with_solver_valid_grid_untouched():
+    import numpy as np
+
+    from sudoku_vision_tpu.reasoning import resolve_with_solver
+    from tests.test_solver import EASY
+
+    grid = np.asarray(EASY).reshape(9, 9)
+    probs = np.full((81, 10), 0.1, np.float32)
+    res = resolve_with_solver(grid, probs)
+    assert res.success and np.array_equal(res.grid, grid)
+    assert res.corrections == []
+
+
+def test_resolve_with_solver_too_many_suspects():
+    import numpy as np
+
+    from sudoku_vision_tpu.reasoning import resolve_with_solver
+
+    grid = np.zeros((9, 9), np.int64)
+    grid[0] = 5  # nine-way conflict: 9 suspects > max_suspects
+    probs = np.full((81, 10), 0.1, np.float32)
+    res = resolve_with_solver(grid, probs, max_suspects=6)
+    assert not res.success
