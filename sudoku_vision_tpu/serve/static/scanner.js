@@ -43,6 +43,48 @@ function gridFromScan(data) {
   };
 }
 
+// ---------- local WASM solver fallback ----------
+//
+// Capability parity with the reference's browser-local solving
+// (web/src/solver.ts: dynamic sudoku.js load + cwrap bindings). The
+// module is emitted by `make -C native/solver wasm` (emcc) next to this
+// file; when absent (emcc not installed) or the load fails, solving
+// stays on POST /solve. Returns {status, solution} like the endpoint.
+let _wasm = null;            // resolved module, false = unavailable
+async function solveLocal(rec) {
+  if (_wasm === false) return null;
+  if (_wasm === null) {
+    try {
+      if (typeof SudokuSolver === 'undefined') {
+        await new Promise((ok, err) => {
+          const s = document.createElement('script');
+          s.src = '/sudoku.js';
+          s.onload = ok;
+          s.onerror = err;
+          document.head.appendChild(s);
+        });
+      }
+      _wasm = await SudokuSolver();
+    } catch (e) {
+      _wasm = false;
+      return null;
+    }
+  }
+  const m = _wasm;
+  const setCell = m.cwrap('set_cell', null, ['number', 'number', 'number']);
+  const getCell = m.cwrap('get_cell', 'number', ['number', 'number']);
+  m.cwrap('clear_grid', null, [])();
+  for (let i = 0; i < 81; i++) {
+    setCell((i / 9) | 0, i % 9, Number(rec[i]));
+  }
+  const rc = m.cwrap('solve', 'number', [])();
+  if (rc !== 1) return {status: rc === 0 ? 'unsolvable' : 'invalid',
+                        solution: null};
+  let sol = '';
+  for (let i = 0; i < 81; i++) sol += String(getCell((i / 9) | 0, i % 9));
+  return {status: 'solved', solution: sol};
+}
+
 // ---------- DOM app (skipped when loaded without a document) ----------
 
 function initApp() {
@@ -111,12 +153,24 @@ function initApp() {
     state.editing = -1;
     editor.style.display = 'none';
     statusEl.textContent = 're-solving…';
-    const res = await fetch('/solve', {
-      method: 'POST',
-      headers: {'Content-Type': 'application/json'},
-      body: JSON.stringify({puzzle: state.rec}),
-    });
-    const data = await res.json();
+    let data;
+    try {
+      const res = await fetch('/solve', {
+        method: 'POST',
+        headers: {'Content-Type': 'application/json'},
+        body: JSON.stringify({puzzle: state.rec}),
+      });
+      data = await res.json();
+    } catch (e) {
+      // Server unreachable: solve locally in WASM when the module was
+      // built (reference web/src/solver.ts behavior).
+      data = await solveLocal(state.rec);
+      if (!data) {
+        statusEl.textContent = 'solve failed: server unreachable';
+        return;
+      }
+      data.time_ms = 'local';
+    }
     state.sol = data.solution || state.rec;
     statusEl.textContent = data.status === 'solved'
         ? `re-solved in ${data.time_ms} ms`
@@ -209,7 +263,7 @@ function initApp() {
 }
 
 if (typeof window !== 'undefined') {
-  window.SV = {applyEdit, classForCell, gridFromScan};
+  window.SV = {applyEdit, classForCell, gridFromScan, solveLocal};
   if (typeof document !== 'undefined' && document.getElementById) {
     document.addEventListener('DOMContentLoaded', initApp);
     if (document.readyState !== 'loading') initApp();
