@@ -51,6 +51,8 @@ CATEGORIES = (
     "rotated",      # photo rotated a quarter-turn multiple +- 30 deg
     "handwritten",  # pen-filled grid: stroke-rendered digits, uneven ink
     "screen",       # photographed display: backlight, cool tint, moire
+    "motion_blur",  # camera shake: directional blur along a random angle
+    "far_away",     # small grid (~12-16% of frame, near the area gate)
 )
 
 
@@ -266,7 +268,9 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
 
     # Page: render large enough that warped grid lines stay >= 1 px.
     short = min(h, w)
-    gpx = grid_px or int(short * rng.uniform(0.55, 0.72))
+    gfrac = ((0.34, 0.42) if category == "far_away"
+             else (0.55, 0.72))
+    gpx = grid_px or int(short * rng.uniform(*gfrac))
     page, page_corners = render_page(
         puzzle, rng, grid_px=gpx, newsprint=(category == "newsprint"),
         handwritten=(category == "handwritten"))
@@ -410,6 +414,19 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
         scene = scene + (rng.uniform(3, 6) * moire)[..., None]
         pitch = rng.uniform(2.6, 3.4)  # subpixel grating, mostly blurs out
         scene = scene + (1.5 * np.sin(2 * np.pi * xx / pitch))[..., None]
+    if category == "motion_blur":
+        # Camera shake: mean of K copies shifted along a random
+        # direction (a length-K directional box kernel).
+        klen = rng.randint(5, 11)
+        ang = rng.uniform(0, 3.14)
+        acc = np.zeros_like(scene)
+        for t in range(klen):
+            s = t - (klen - 1) / 2.0
+            dy = int(round(s * np.sin(ang)))
+            dx = int(round(s * np.cos(ang)))
+            acc += np.roll(np.roll(scene, dy, axis=0), dx, axis=1)
+        scene = acc / klen
+
     # Global blur + sensor noise.
     pil = Image.fromarray(np.clip(scene, 0, 255).astype(np.uint8))
     if rng.random() < 0.6:

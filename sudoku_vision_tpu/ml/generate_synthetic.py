@@ -100,14 +100,19 @@ def add_grid_artifacts(img: np.ndarray, rng: random.Random) -> np.ndarray:
     return out
 
 
+_STROKE_FRAC = 0.30  # module default; --stroke-frac overrides per run
+
+
 def _render_digit_mask(
     digit: int, font_path: str, rng: random.Random
 ) -> np.ndarray:
     """Anti-aliased ink mask (0..1) of a digit with jitter, RENDER size.
 
-    30% of digits are procedurally stroke-rendered (ml/stroke_digits.py)
-    for glyph diversity beyond the few system fonts."""
-    if rng.random() < 0.30:
+    A _STROKE_FRAC share of digits is procedurally stroke-rendered
+    (ml/stroke_digits.py) for glyph diversity beyond the few system
+    fonts — raise it (--stroke-frac) to emphasize handwritten-style
+    glyphs (the pen-filled-puzzle scene category)."""
+    if rng.random() < _STROKE_FRAC:
         from sudoku_vision_tpu.ml.stroke_digits import render_stroke_digit
 
         mask = render_stroke_digit(digit, RENDER, rng)
@@ -261,7 +266,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--simple", action="store_true",
                    help="v1-style plain backgrounds (no paper/artifacts)")
+    p.add_argument("--stroke-frac", type=float, default=0.30,
+                   help="share of stroke-rendered (handwriting-style) "
+                        "digit glyphs")
     args = p.parse_args(argv)
+    global _STROKE_FRAC
+    _STROKE_FRAC = args.stroke_frac
     meta = generate_dataset(args.out, args.per_class, args.val_frac,
                             args.seed, realistic=not args.simple)
     print(json.dumps(meta))
