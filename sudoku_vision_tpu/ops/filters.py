@@ -77,8 +77,10 @@ def sep_filter_int(
     if max_abs_in is None and x.dtype == jnp.uint8:
         max_abs_in = 255
     s = sum(abs(t) for t in taps)
+    # Band engine needs non-negative taps (its base-256 digit split is
+    # sign-free); every current pipeline kernel (Gaussian, box) is.
     if (max_abs_in is not None and max_abs_in * s * s < (1 << 24)
-            and max(h, w) <= 1024):
+            and max(h, w) <= 1024 and all(t >= 0 for t in taps)):
         from sudoku_vision_tpu.ops.bandconv import band_filter_int
 
         return band_filter_int(x, tuple(taps), border, max_abs_in)

@@ -167,11 +167,14 @@ def resolve_with_solver(
 
     def dfs(i: int, work: np.ndarray, logp: float):
         nonlocal best_assign, best_logp, explored
+        # max_nodes counts EVERY visit (not just terminals): with up to
+        # max_suspects * 10 branches per level the interior of the tree
+        # is where a pathological grid would burn time.
         if explored >= max_nodes or logp <= best_logp:
             return
+        explored += 1
         if i == len(suspects):
             test = work.copy()
-            explored += 1
             if native_solver.solve(test).solved:
                 best_logp = logp
                 best_assign = work.copy()
