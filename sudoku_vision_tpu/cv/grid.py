@@ -446,19 +446,33 @@ def grid_region_from_lattice(
     fine = jnp.logical_and(_box_sum_u8(lat_h > 0, kf) > 0,
                            _box_sum_u8(lat_v > 0, kf) > 0)
 
-    # The grid's blob contains the global density argmax; flood-fill from
-    # it on a coarsened mask (solid blob -> ~diameter/f unrolled
-    # dilations) to drop detached above-threshold specks (e.g. a book
-    # spine crossing a fold also has both line families locally). The
-    # coarse factor follows `scale` so the flood's physical bridging
-    # reach (which gaps between two adjacent grids it can jump) is
+    # The grid's blob contains the flood seed; flood-fill from it on a
+    # coarsened mask (solid blob -> ~diameter/f unrolled dilations) to
+    # drop detached above-threshold specks (e.g. a book spine crossing
+    # a fold also has both line families locally). The coarse factor
+    # follows `scale` so the flood's physical bridging reach (which
+    # gaps between two adjacent grids it can jump) is
     # resolution-independent — calibrated f=16 at scale 1.
+    #
+    # Seed choice: NOT the raw density argmax — a facing page's decoy
+    # grid clipped at the frame edge can hold the single densest pixel
+    # while the fully-visible target grid has far more total density.
+    # Seed at the maximum of the windowed density-mask MASS, with a
+    # window the size of the frame's short side: any smaller window
+    # saturates inside every blob wider than itself and the argmax
+    # tie-breaks to the top-left pixel (which is exactly where the
+    # decoy sits). At short-side size the score is each blob's area
+    # under the window — the reference's "largest contour wins" prior
+    # (reference cv/grid.py:37) as dense array math. Restricted to
+    # dmask so the flood always starts on the blob.
     f = max(4, round(16 * scale))
     ch, cw = -(-h // f), -(-w // f)
     dpad = jnp.pad(dmask, ((0, ch * f - h), (0, cw * f - w)))
     cmask = jax.lax.reduce_window(
         dpad, False, jax.lax.bitwise_or, (f, f), (f, f), "VALID")
-    amax = jnp.argmax(dens)
+    kseed = max(k, min(h, w) - 1) | 1
+    seed_score = jnp.where(dmask, _box_sum(dmask, kseed), -1.0)
+    amax = jnp.argmax(seed_score)
     sy = (amax // w) // f
     sx = (amax % w) // f
     seed = jnp.zeros((ch, cw), bool).at[sy, sx].set(True)
