@@ -517,7 +517,7 @@ def grid_region_from_lattice(
 def detect_grid_full(
     gray: jnp.ndarray,
     detect_width: int = 950,
-    min_area_frac: float = 0.10,
+    min_area_frac: float = 0.06,
     line_length: int = 31,
     density_window: int = 61,
     calib_scale: float | None = None,
@@ -683,7 +683,7 @@ def detect_grid_full(
 def detect_grid(
     gray: jnp.ndarray,
     detect_width: int = 950,
-    min_area_frac: float = 0.10,
+    min_area_frac: float = 0.06,
     line_length: int = 31,
     density_window: int = 61,
 ) -> GridDetection:

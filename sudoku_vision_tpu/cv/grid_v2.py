@@ -107,7 +107,7 @@ def _best_component(lat_h: jnp.ndarray, lat_v: jnp.ndarray,
 def detect_grid(
     gray: jnp.ndarray,
     detect_width: int = 950,
-    min_area_frac: float = 0.10,
+    min_area_frac: float = 0.06,
 ) -> GridDetectionResult:
     """Confidence-ranked cascade (reference cv/grid_v2.py:401)."""
     gh, gw = gray.shape

@@ -240,6 +240,19 @@ def run_pipeline(
     t5 = time.perf_counter()
     if status is None:
         sres = native_solver.solve(work, timeout_s=config.solver_timeout_s)
+        if not sres.solved and sres.status_name == "unsolvable":
+            # Valid-but-unsolvable: a confidently-wrong read that
+            # violates no unit constraint. Removal-certificate
+            # escalation (reasoning/conflict_resolver.py).
+            from sudoku_vision_tpu.reasoning import resolve_unsolvable
+
+            esc = resolve_unsolvable(work, probs)
+            if esc.success:
+                work = esc.grid
+                corrections = corrections + esc.corrections
+                base["corrected_grid"] = work.copy()
+                sres = native_solver.solve(
+                    work, timeout_s=config.solver_timeout_s)
         if sres.solved:
             status = "solved"
             solved = sres.grid

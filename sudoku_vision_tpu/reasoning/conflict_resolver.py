@@ -119,6 +119,80 @@ def resolve_conflicts(
     )
 
 
+def resolve_unsolvable(
+    grid: np.ndarray,
+    probs: np.ndarray,
+    max_suspects: int = 4,
+) -> ResolutionResult:
+    """Escalation for VALID-but-unsolvable grids (no conflicts to blame).
+
+    A confidently-wrong read can land on a digit that violates no unit
+    constraint yet kills every completion — the conflict machinery never
+    fires. Removal certificates identify the culprits: a filled cell is
+    a SUSPECT iff blanking it (alone) makes the grid solvable (one
+    native-solver call per filled cell, ~us each). For each suspect the
+    solver's candidate mask on the blanked grid gives the legal
+    replacements; the most probable legal digit that yields a solvable
+    grid wins (ties to the fewest-correction, highest-probability fix).
+    Blanking the cell outright is the fallback — "couldn't read it"
+    beats "refused the frame".
+    """
+    from sudoku_vision_tpu import solver as native_solver
+
+    grid = np.asarray(grid).reshape(9, 9).copy()
+    probs = np.asarray(probs).reshape(81, 10)
+    if not validate_predictions(grid).is_valid:
+        return ResolutionResult(False, grid, [], 1, 0)
+    if native_solver.solve(grid.copy()).solved:
+        return ResolutionResult(True, grid, [], 0, 0)
+
+    filled = [(r, c) for r in range(9) for c in range(9) if grid[r, c]]
+    suspects = []
+    explored = 0
+    for (r, c) in filled:
+        test = grid.copy()
+        test[r, c] = 0
+        explored += 1
+        if native_solver.solve(test).solved:
+            suspects.append((r, c))
+    if not suspects or len(suspects) > max_suspects:
+        # Everything (or nothing) is a certificate: more than one read
+        # is wrong in a coupled way — beyond single-cell repair.
+        return ResolutionResult(False, grid, [], 1, explored)
+
+    best = None  # (logp, (r, c), digit)
+    for (r, c) in suspects:
+        blanked = grid.copy()
+        old = int(blanked[r, c])
+        blanked[r, c] = 0
+        mask = int(native_solver.candidates(blanked).reshape(9, 9)[r, c])
+        for d in range(1, 10):
+            if d == old or not (mask & (1 << d)):
+                continue
+            test = blanked.copy()
+            test[r, c] = d
+            explored += 1
+            if native_solver.solve(test).solved:
+                lp = float(np.log(max(probs[r * 9 + c, d], 1e-12)))
+                if best is None or lp > best[0]:
+                    best = (lp, (r, c), d)
+    if best is None:
+        # No single reassignment restores solvability; blank the most
+        # suspicious certificate cell (lowest model confidence).
+        r, c = min(suspects,
+                   key=lambda rc: probs[rc[0] * 9 + rc[1],
+                                        grid[rc[0], rc[1]]])
+        out = grid.copy()
+        old = int(out[r, c])
+        out[r, c] = 0
+        return ResolutionResult(True, out, [((r, c), old, 0)], 0, explored)
+    _, (r, c), d = best
+    out = grid.copy()
+    old = int(out[r, c])
+    out[r, c] = d
+    return ResolutionResult(True, out, [((r, c), old, d)], 0, explored)
+
+
 def resolve_with_solver(
     grid: np.ndarray,
     probs: np.ndarray,

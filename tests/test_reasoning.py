@@ -180,3 +180,62 @@ def test_resolve_with_solver_too_many_suspects():
     probs = np.full((81, 10), 0.1, np.float32)
     res = resolve_with_solver(grid, probs, max_suspects=6)
     assert not res.success
+
+
+def test_resolve_unsolvable_certificate_repair():
+    """A valid-but-unsolvable grid (confidently-wrong read with no unit
+    conflict) is repaired via removal certificates: blank each filled
+    cell, find which restore solvability, reassign by probability."""
+    import numpy as np
+
+    from sudoku_vision_tpu import solver as native_solver
+    from sudoku_vision_tpu.reasoning import resolve_unsolvable
+    from tests.test_solver import EASY, EASY_SOLUTION
+
+    grid = np.asarray(EASY).reshape(9, 9).copy()
+    sol = np.asarray(EASY_SOLUTION).reshape(9, 9)
+    # Corrupt an empty cell with a digit that is legal per units but
+    # contradicts the unique solution -> valid, unsolvable.
+    target = None
+    for r in range(9):
+        for c in range(9):
+            if grid[r, c]:
+                continue
+            for d in range(1, 10):
+                if d == sol[r, c]:
+                    continue
+                test = grid.copy()
+                test[r, c] = d
+                from sudoku_vision_tpu.reasoning import validate_predictions
+                if (validate_predictions(test).is_valid
+                        and not native_solver.solve(test.copy()).solved):
+                    target = (r, c, d)
+                    break
+            if target:
+                break
+        if target:
+            break
+    assert target, "no corruptible cell found"
+    r, c, d = target
+    grid[r, c] = d
+    probs = np.zeros((81, 10), np.float32)
+    for i, dd in enumerate(grid.reshape(-1)):
+        probs[i, dd] = 0.9 if dd else 1.0
+    probs[r * 9 + c, sol[r, c]] = 0.04  # truth far below the beam floor
+    res = resolve_unsolvable(grid, probs)
+    assert res.success
+    assert native_solver.solve(res.grid.copy()).solved
+    assert any(cell == (r, c) for cell, _, _ in res.corrections)
+
+
+def test_resolve_unsolvable_passthrough():
+    import numpy as np
+
+    from sudoku_vision_tpu.reasoning import resolve_unsolvable
+    from tests.test_solver import EASY
+
+    grid = np.asarray(EASY).reshape(9, 9)
+    probs = np.full((81, 10), 0.1, np.float32)
+    res = resolve_unsolvable(grid, probs)
+    assert res.success and np.array_equal(res.grid, grid)
+    assert res.corrections == []
