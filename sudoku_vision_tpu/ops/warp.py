@@ -181,8 +181,12 @@ def scanline_sample_cells_u8(
     # sample the shear wrapped past an image edge).
     y1 = jnp.mod(jnp.rint(jnp.mean(y1f, axis=2)).astype(jnp.int32), h)
     rows = jnp.take(sh, y1.reshape(-1), axis=0).reshape(n, co, w)
-    # Exact x pick: factored one-hot over columns (w padded to 16*rhi).
-    rlo = 16
+    # Exact x pick: factored one-hot over columns (w padded to rlo*rhi).
+    # rlo = 128 puts the first contraction's output minor dim at the
+    # full lane width (an rlo of 16 wasted 7/8 of every lane register —
+    # measured 10% slower on the batch-32 production shapes; results
+    # are bit-identical, it is pure layout).
+    rlo = 128
     rhi = -(-w // rlo)
     pad = rhi * rlo - w
     if pad:
