@@ -46,6 +46,10 @@ class GridDetection(NamedTuple):
     found: jnp.ndarray       # () bool — plausible grid component found
     area_frac: jnp.ndarray   # () float32 — corner-quad area / image area
     fill: jnp.ndarray        # () float32 — component line px / quad area
+    edge_sup: jnp.ndarray    # (4,) float32 — lattice coverage of the quad
+    #                          edges tl-tr/tr-br/br-bl/bl-tl (edge_support;
+    #                          ~1 on a true grid, low on a stolen corner's
+    #                          chords — structural confidence diagnostic)
 
 
 # ---------------------------------------------------------------------------
@@ -368,6 +372,121 @@ def _extreme_corners(mask: jnp.ndarray) -> jnp.ndarray:
                       pick(xs + ys), pick(-xs + ys)])
 
 
+def dilate_union(lat_h: jnp.ndarray, lat_v: jnp.ndarray,
+                 k: int = 9) -> jnp.ndarray:
+    """max(lat_h, lat_v) dilated by a k x k window (uint8 0/1).
+
+    Tolerance map for edge_support: page curvature bows the grid's outer
+    line a few px away from the straight corner-to-corner chord."""
+    lat = jnp.maximum(lat_h, lat_v).astype(jnp.uint8)
+    return _window1d(_window1d(lat, k, 0, "max"), k, 1, "max")
+
+
+def edge_support(lat_dil: jnp.ndarray, corners: jnp.ndarray,
+                 n_samples: int = 48,
+                 span: tuple[float, float] = (0.12, 0.88)) -> jnp.ndarray:
+    """Lattice coverage along each quad edge (tl-tr, tr-br, br-bl, bl-tl).
+
+    corners: (4, 2) float (x, y) in lat_dil pixel coords (tl/tr/br/bl).
+    Samples the middle `span` of each edge (ends excluded — even a decoy
+    corner sits on its own crossing cluster) against the dilated union
+    lattice (dilate_union). Returns (4,) float32 coverage in [0, 1].
+
+    Structural fact this measures: a TRUE grid corner's two incident
+    quad edges run along the grid's outer lines (coverage ~1); a stolen
+    corner (a page-corner two-edge crossing cluster, clutter that passed
+    every photometric gate) hangs in blank margin, so its incident
+    chords cross un-latticed paper (coverage << 1). Unlike any local
+    box-mass test, this cannot be fooled by how dense the decoy cluster
+    itself is — it interrogates the PATH back to the grid.
+    """
+    h, w = lat_dil.shape
+    t = jnp.linspace(span[0], span[1], n_samples, dtype=jnp.float32)[None, :]
+    p0 = corners.astype(jnp.float32)
+    p1 = jnp.roll(p0, -1, axis=0)
+    xs = p0[:, 0:1] * (1.0 - t) + p1[:, 0:1] * t            # (4, S)
+    ys = p0[:, 1:2] * (1.0 - t) + p1[:, 1:2] * t
+    xi = jnp.clip(jnp.rint(xs).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.rint(ys).astype(jnp.int32), 0, h - 1)
+    v = jnp.take(lat_dil.reshape(-1), (yi * w + xi).reshape(-1))
+    return v.reshape(4, n_samples).astype(jnp.float32).mean(axis=1)
+
+
+def peel_stolen_corners(comp: jnp.ndarray, lat_dil: jnp.ndarray,
+                        rho: int, tau: float = 0.80,
+                        margin: float = 0.15,
+                        rounds: int = 2) -> jnp.ndarray:
+    """Structural corner validation: erase decoy extreme-point clusters.
+
+    The extreme-point pick (argmax +-x +-y) has no notion of whether a
+    corner is CONNECTED to the grid, so a compact decoy crossing cluster
+    that survives every photometric gate (the classic case: the PAGE
+    corner in a skewed photo, where two page edges meet) can steal a
+    corner and silently mis-warp the whole grid.
+
+    Rule, per round: pick extremes; score each quad edge's lattice
+    coverage (edge_support). An edge below `tau` is DEAD — a true quad
+    edge rides the grid's outer line (coverage measured EXACTLY 1.000 on
+    all 4 edges of all 49 e2e cases across 13 scene categories, incl.
+    glare/shadow/motion-blur/far-away/handwritten), so a dead edge
+    proves one of its two endpoints is stolen. A dead edge alone cannot
+    say WHICH endpoint; flag the one whose OTHER incident edge is
+    weaker. (The once-obvious "flag corners with BOTH edges dead" rule
+    does not work: when the decoy sits near the true corner, one of its
+    chords cuts through the latticed grid INTERIOR and scores high —
+    measured on the s118 page-corner steal: the fully-outside chord
+    0.52, the interior-crossing chord 0.96.)
+
+    Guards, because erasing near a TRUE corner would shrink the quad:
+    flagged corners get a disc of radius `rho` erased and the extremes
+    re-picked, but the round is accepted only if the quad's WORST edge
+    coverage improves by > `margin` (removing a real decoy jumps the
+    dead edge from ~0.2 to ~0.9; inward shrinkage onto interior
+    crossings yields marginal gains that don't clear the bar), and only
+    when <= 2 edges are dead (3+ dead edges = systemic failure — moire,
+    no grid — where peeling is noise). Statically unrolled fixed-shape
+    graph (an on-device early-exit loop costs ms-level dispatch here).
+
+    comp, lat_dil share one coordinate system. Returns (mask, corners,
+    edge supports) — mask/corners unchanged when nothing qualifies; the
+    carried corners/supports save detect_grid_full a redundant extreme
+    pick + support pass per round.
+    """
+    h, w = comp.shape
+    xs1 = jnp.arange(w, dtype=jnp.float32)
+    ys1 = jnp.arange(h, dtype=jnp.float32)
+    c = _extreme_corners(comp)
+    sup = edge_support(lat_dil, c)
+    for _ in range(rounds):
+        dead = sup < tau
+        bad = jnp.zeros((4,), bool)
+        for i in range(4):                      # edge i: corner i -> i+1
+            o_a = sup[(i - 1) % 4]              # endpoint i's other edge
+            o_b = sup[(i + 1) % 4]              # endpoint i+1's other edge
+            pick_a = o_a <= o_b
+            bad = bad.at[i].set(bad[i] | (dead[i] & pick_a))
+            j = (i + 1) % 4
+            bad = bad.at[j].set(bad[j] | (dead[i] & ~pick_a))
+        # Erase square (Chebyshev "disc" — covers the euclidean one) as
+        # an outer product of 1-D interval masks: two (h,)+(w,) computes
+        # + one broadcast AND per corner, instead of full-map distance
+        # fields (~3x cheaper on the VPU; the peel rides the hot path).
+        erase = jnp.zeros((h, w), bool)
+        for i in range(4):
+            inx = (jnp.abs(xs1 - c[i, 0]) < rho) & bad[i]
+            iny = jnp.abs(ys1 - c[i, 1]) < rho
+            erase = erase | (iny[:, None] & inx[None, :])
+        peeled = jnp.logical_and(comp, ~erase)
+        c_new = _extreme_corners(peeled)
+        sup_new = edge_support(lat_dil, c_new)
+        accept = ((jnp.sum(dead) <= 2) & jnp.any(bad) & jnp.any(peeled)
+                  & (jnp.min(sup_new) > jnp.min(sup) + margin))
+        comp = jnp.where(accept, peeled, comp)
+        c = jnp.where(accept, c_new, c)
+        sup = jnp.where(accept, sup_new, sup)
+    return comp, c, sup
+
+
 def order_corners(pts: jnp.ndarray) -> jnp.ndarray:
     """Order 4 arbitrary points tl,tr,br,bl by sum/diff (reference
     cv/grid.py:74 order_points semantics)."""
@@ -521,6 +640,7 @@ def detect_grid_full(
     line_length: int = 31,
     density_window: int = 61,
     calib_scale: float | None = None,
+    debug_stash: dict | None = None,
 ):
     """detect_grid plus the intermediate line-family lattices and the
     detect-scale factor — the extraction stage refines cell boundaries
@@ -657,12 +777,25 @@ def detect_grid_full(
     dark2 = (jnp.minimum(core2[:sh2, :sw2], jnp.uint8(225)) + jnp.uint8(30)
              < mean2[:sh2, :sw2])
     dark2 = dark2[:lat_h2.shape[0], :lat_h2.shape[1]]
-    comp = grid_region_from_lattice(
-        lat_h2, lat_v2, max(11, round(density_window * r / 2)) | 1,
-        dark=dark2, scale=r / 2)
+    k2 = max(11, round(density_window * r / 2)) | 1
+    comp = grid_region_from_lattice(lat_h2, lat_v2, k2, dark=dark2,
+                                    scale=r / 2)
+    if debug_stash is not None:  # eager-mode diagnostics only
+        debug_stash.update(lat_h2=lat_h2, lat_v2=lat_v2, dark2=dark2,
+                           comp_pre=comp, k2=k2, r=r)
+    # Structural corner validation: a decoy crossing cluster (page
+    # corner, clutter) that survives the photometric gates can still
+    # steal an extreme point — peel it by quad-edge lattice coverage
+    # (see peel_stolen_corners). rho = the density window: decoy
+    # clusters are at most one support-window wide.
+    lat_dil2 = dilate_union(lat_h2, lat_v2)
+    comp, corners_half, edge_sup = peel_stolen_corners(comp, lat_dil2,
+                                                       rho=k2)
+    if debug_stash is not None:
+        debug_stash.update(comp_post=comp)
     found_any = jnp.any(comp)
 
-    corners_small = _extreme_corners(comp) * 2.0 + 0.5
+    corners_small = corners_half * 2.0 + 0.5
     corners = corners_small * float(ds) + (ds - 1) / 2.0
 
     x = corners[:, 0]
@@ -676,7 +809,7 @@ def detect_grid_full(
     fill = jnp.where(quad_area > 0, comp_px / jnp.maximum(quad_area, 1.0), 0.0)
     found = jnp.logical_and(found_any, area_frac >= min_area_frac)
     det = GridDetection(corners=corners, found=found,
-                        area_frac=area_frac, fill=fill)
+                        area_frac=area_frac, fill=fill, edge_sup=edge_sup)
     return det, lat_h, lat_v, ds, small
 
 

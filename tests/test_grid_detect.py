@@ -128,3 +128,67 @@ def test_packed_bank_matches_per_frame():
                                       np.asarray(lat_h))
         np.testing.assert_array_equal(np.asarray(lat_v_b[i]),
                                       np.asarray(lat_v))
+
+
+def _cross_lattice(h=240, w=240, tl=(40, 40), size=160, pitch=20):
+    """Synthetic gated-lattice pair: grid h/v lines inside [tl, tl+size]."""
+    lat_h = np.zeros((h, w), np.int8)
+    lat_v = np.zeros((h, w), np.int8)
+    for i in range(size // pitch + 1):
+        lat_h[tl[1] + i * pitch, tl[0]:tl[0] + size + 1] = 1
+        lat_v[tl[1]:tl[1] + size + 1, tl[0] + i * pitch] = 1
+    return lat_h, lat_v
+
+
+def test_edge_support_separates_true_and_decoy():
+    from sudoku_vision_tpu.cv.grid import dilate_union, edge_support
+
+    lat_h, lat_v = _cross_lattice()
+    lat_dil = dilate_union(jnp.asarray(lat_h), jnp.asarray(lat_v))
+    true_q = jnp.asarray([[40., 40.], [200., 40.],
+                          [200., 200.], [40., 200.]])
+    sup_true = np.asarray(jax.jit(edge_support)(lat_dil, true_q))
+    assert sup_true.min() > 0.9, sup_true
+    # BR stolen: moved off-grid into blank margin.
+    stolen_q = true_q.at[2].set(jnp.asarray([235., 235.]))
+    sup_stolen = np.asarray(jax.jit(edge_support)(lat_dil, stolen_q))
+    assert sup_stolen[1] < 0.45 and sup_stolen[2] < 0.45, sup_stolen
+    assert sup_stolen[0] > 0.9 and sup_stolen[3] > 0.9, sup_stolen
+
+
+def test_peel_recovers_stolen_corner():
+    """A compact decoy cluster outside the grid steals the BR extreme
+    point; peel_stolen_corners must erase it and restore the true quad
+    (the page-corner steal class: PLAN.md s027/s118)."""
+    from sudoku_vision_tpu.cv.grid import (
+        _extreme_corners, dilate_union, peel_stolen_corners,
+    )
+
+    lat_h, lat_v = _cross_lattice()
+    comp = ((lat_h > 0) & (lat_v > 0))
+    comp_np = np.asarray(comp).copy()
+    comp_np[228:233, 228:233] = True        # decoy cluster beyond BR
+    comp = jnp.asarray(comp_np)
+    before = np.asarray(_extreme_corners(comp))
+    assert before[2].tolist() != [200.0, 200.0]     # BR is stolen
+    lat_dil = dilate_union(jnp.asarray(lat_h), jnp.asarray(lat_v))
+    _, corners, sup = jax.jit(
+        lambda c, l: peel_stolen_corners(c, l, rho=15))(comp, lat_dil)
+    after = np.asarray(corners)
+    np.testing.assert_allclose(after[2], [200.0, 200.0])
+    # The other three corners are untouched.
+    np.testing.assert_allclose(after[[0, 1, 3]], before[[0, 1, 3]])
+    assert np.asarray(sup).min() > 0.9
+
+
+def test_peel_noop_on_clean_grid():
+    from sudoku_vision_tpu.cv.grid import (
+        _extreme_corners, dilate_union, peel_stolen_corners,
+    )
+
+    lat_h, lat_v = _cross_lattice()
+    comp = (jnp.asarray(lat_h) > 0) & (jnp.asarray(lat_v) > 0)
+    lat_dil = dilate_union(jnp.asarray(lat_h), jnp.asarray(lat_v))
+    peeled, _, _ = jax.jit(
+        lambda c, l: peel_stolen_corners(c, l, rho=15))(comp, lat_dil)
+    np.testing.assert_array_equal(np.asarray(peeled), np.asarray(comp))
