@@ -415,7 +415,7 @@ def edge_support(lat_dil: jnp.ndarray, corners: jnp.ndarray,
 def peel_stolen_corners(comp: jnp.ndarray, lat_dil: jnp.ndarray,
                         rho: int, tau: float = 0.80,
                         margin: float = 0.15,
-                        rounds: int = 2) -> jnp.ndarray:
+                        rounds: int = 1) -> jnp.ndarray:
     """Structural corner validation: erase decoy extreme-point clusters.
 
     The extreme-point pick (argmax +-x +-y) has no notion of whether a
@@ -641,6 +641,7 @@ def detect_grid_full(
     density_window: int = 61,
     calib_scale: float | None = None,
     debug_stash: dict | None = None,
+    peel_rounds: int = 1,
 ):
     """detect_grid plus the intermediate line-family lattices and the
     detect-scale factor — the extraction stage refines cell boundaries
@@ -788,9 +789,13 @@ def detect_grid_full(
     # steal an extreme point — peel it by quad-edge lattice coverage
     # (see peel_stolen_corners). rho = the density window: decoy
     # clusters are at most one support-window wide.
-    lat_dil2 = dilate_union(lat_h2, lat_v2)
-    comp, corners_half, edge_sup = peel_stolen_corners(comp, lat_dil2,
-                                                       rho=k2)
+    if peel_rounds > 0:
+        lat_dil2 = dilate_union(lat_h2, lat_v2)
+        comp, corners_half, edge_sup = peel_stolen_corners(
+            comp, lat_dil2, rho=k2, rounds=peel_rounds)
+    else:  # ablation/debug path: raw extreme pick, no validation
+        corners_half = _extreme_corners(comp)
+        edge_sup = jnp.ones((4,), jnp.float32)
     if debug_stash is not None:
         debug_stash.update(comp_post=comp)
     found_any = jnp.any(comp)
