@@ -96,9 +96,39 @@ def refine_boundaries(
             lat.reshape(-1).astype(jnp.float32),
             (yi * w + xi).reshape(-1)).reshape(yi.shape), 0.0)
         mass_a = v.mean(axis=2)                             # (10, A)
-        mass = mass_a.sum(axis=1)
-        cent = (mass_a * across).sum(axis=1) / jnp.maximum(mass, 1e-6)
-        return jnp.where(mass > 0.5, cent, nominal)
+        mass_full = mass_a.sum(axis=1)
+        cent_full = ((mass_a * across).sum(axis=1)
+                     / jnp.maximum(mass_full, 1e-6))
+        # OUTER boundaries (0 and 9) get a decoy-robust snap: a straight
+        # line on the page margin (a pen, the page edge) inside the
+        # +-window band adds an off-nominal mass peak, and the plain
+        # whole-band centroid drifts toward it (measured: a synthetic
+        # pen 0.3 cells outside the bottom edge pulled the outer
+        # boundary ~7 px out, silently shifting every crop in the
+        # border row). Only the outer two bands are exposed — an
+        # interior band sits >= 50 px - window inside the grid, beyond
+        # any outside decoy's reach — so interior boundaries keep the
+        # full centroid (real page curvature bows them ~10 px, and a
+        # narrow snap measurably breaks the golden photos). Rule:
+        # smooth the per-offset mass, take the bin NEAREST NOMINAL
+        # among bins >= 50% of the peak (the true outer line passes
+        # within the corner-pinned homography's few px of nominal at
+        # the span ends), centroid its +-2-bin (+-8 px) neighborhood.
+        sm = (mass_a
+              + 0.5 * jnp.pad(mass_a, ((0, 0), (1, 0)))[:, :-1]
+              + 0.5 * jnp.pad(mass_a, ((0, 0), (0, 1)))[:, 1:])
+        strong = sm >= 0.5 * jnp.max(sm, axis=1, keepdims=True)
+        a_idx = jnp.arange(offs.shape[0])
+        dist = jnp.where(strong, jnp.abs(offs)[None, :], jnp.inf)
+        j = jnp.argmin(dist, axis=1)                        # (10,)
+        nb = jnp.abs(a_idx[None, :] - j[:, None]) <= 2
+        m_nb = jnp.where(nb, mass_a, 0.0)
+        mass_nb = m_nb.sum(axis=1)
+        cent_nb = (m_nb * across).sum(axis=1) / jnp.maximum(mass_nb, 1e-6)
+        outer = (jnp.arange(10) == 0) | (jnp.arange(10) == 9)
+        mass = jnp.where(outer, mass_nb, mass_full)
+        cent = jnp.where(outer, cent_nb, cent_full)
+        return jnp.where(mass > 0.25, cent, nominal)
 
     return band_centroids(lat_h, True), band_centroids(lat_v, False)
 

@@ -53,6 +53,8 @@ CATEGORIES = (
     "screen",       # photographed display: backlight, cool tint, moire
     "motion_blur",  # camera shake: directional blur along a random angle
     "far_away",     # small grid (~12-16% of frame, near the area gate)
+    "occluded",     # finger/pen at the page margin breaking the outer line
+    "curved_page",  # open-book cylindrical curvature: bowed grid lines
 )
 
 
@@ -196,6 +198,101 @@ def render_page(puzzle: np.ndarray, rng: random.Random, grid_px: int = 360,
     return np.asarray(pil, np.float32), corners
 
 
+def _cylinder_curve(page: np.ndarray, corners: np.ndarray,
+                    rng: random.Random, grid_px: int):
+    """Open-book page curvature: column-wise vertical bow y' = y + D(x).
+
+    D(x) = A sin(pi x / W + phase), A ~ 0.8-1.8% of the grid size — the
+    scale of a paperback page near the spine. Horizontal grid lines bow
+    by several px off the straight corner-to-corner chord (what
+    cv/extract.py::refine_boundaries exists to absorb); corner ground
+    truth moves with the displacement field, exactly."""
+    ph, pw = page.shape
+    amp = grid_px * rng.uniform(0.008, 0.018) * rng.choice([-1, 1])
+    phase = rng.uniform(0, np.pi)
+    xs = np.arange(pw, dtype=np.float32)
+    disp = (amp * np.sin(np.pi * xs / pw + phase)).astype(np.float32)
+    disp -= disp.mean()
+    yy = np.arange(ph, dtype=np.float32)[:, None] - disp[None, :]
+    y0 = np.clip(np.floor(yy).astype(np.int32), 0, ph - 1)
+    y1 = np.clip(y0 + 1, 0, ph - 1)
+    f = yy - y0
+    cols = np.arange(pw)[None, :]
+    curved = page[y0, cols] * (1 - f) + page[y1, cols] * f
+    c = corners.copy()
+    c[:, 1] += np.interp(c[:, 0], xs, disp.astype(np.float64))
+    return curved.astype(np.float32), c
+
+
+def _draw_occluder(scene: np.ndarray, corners: np.ndarray,
+                   rng: random.Random) -> np.ndarray:
+    """Finger or pen at the page margin, breaking the grid's outer line.
+
+    The real-world "thumb holding the book" / "pen on the desk" class:
+    a large dark blob adjacent to (finger: slightly overlapping) the
+    grid's outer border. The blob's long straight sides are single-family
+    lines with no crossings into the lattice — region isolation must not
+    absorb them and the extreme-point corners must survive (the peel
+    validator catches a steal). No digit cell is covered, so the ground
+    truth stays unambiguous.
+    """
+    h, w = scene.shape[:2]
+    edge = rng.randrange(4)
+    c0, c1 = corners[edge], corners[(edge + 1) % 4]
+    center = corners.mean(axis=0)
+    t = rng.uniform(0.25, 0.75)
+    p = c0 + t * (c1 - c0)
+    ev = (c1 - c0) / max(1e-6, np.hypot(*(c1 - c0)))
+    n = np.array([-ev[1], ev[0]])
+    if np.dot(n, center - p) > 0:       # make n point AWAY from the grid
+        n = -n
+    cell = np.hypot(*(c1 - c0)) / 9.0
+    pil = Image.fromarray(np.clip(scene, 0, 255).astype(np.uint8))
+    draw = ImageDraw.Draw(pil)
+    kind = rng.choice(["finger", "pen"])
+    if kind == "finger":
+        # Capsule from the frame edge to just past the outer grid line.
+        # The capsule's FARTHEST point (the round cap's edge, at
+        # cap_center + ww/2 along n) intrudes <= 0.09 cell: enough to
+        # break the line (1-3 px), short of the nearest digit glyph
+        # (starts ~0.14 cell in). The cap center must therefore sit
+        # ww/2 - intrusion OUTSIDE the line — centering it on the
+        # intrusion point buries half a fingertip in the border cells
+        # (measured: it covered given digits and made truth ambiguous).
+        intrusion = rng.uniform(0.03, 0.09) * cell
+        fw = int(cell * rng.uniform(0.8, 1.3))
+        base = p + n * max(h, w)        # guaranteed off-frame
+        skin = (int(rng.uniform(95, 130)), int(rng.uniform(135, 175)),
+                int(rng.uniform(175, 215)))          # BGR skin tone
+        rim = tuple(int(v * 0.72) for v in skin)     # shaded silhouette rim
+        for col, ww in ((rim, fw + max(2, fw // 6)), (skin, fw)):
+            tip = p + n * (ww / 2 - intrusion)       # cap edge at -intrusion
+            draw.line([tuple(tip), tuple(base)], fill=col, width=ww)
+            draw.ellipse([tip[0] - ww / 2, tip[1] - ww / 2,
+                          tip[0] + ww / 2, tip[1] + ww / 2], fill=col)
+    else:
+        # Pen on the margin: a long thin dark capsule NEAR the grid,
+        # roughly parallel to the edge — a decoy straight line the
+        # lattice bank will see as a real line. The outward offset
+        # covers the rotated ends' swing so the pen NEVER crosses the
+        # grid (ground truth must stay unambiguous).
+        ang = rng.uniform(-0.25, 0.25)
+        half = rng.uniform(2.0, 4.5) * cell
+        pw_ = max(2, int(cell * rng.uniform(0.15, 0.30)))
+        off = half * abs(np.sin(ang)) + pw_ + rng.uniform(0.3, 1.0) * cell
+        mid = p + n * off
+        rot = np.array([[np.cos(ang), -np.sin(ang)],
+                        [np.sin(ang), np.cos(ang)]])
+        dv = rot @ ev
+        a, b = mid - dv * half, mid + dv * half
+        ink = rng.choice([(25, 25, 30), (140, 60, 35), (35, 35, 150)])
+        draw.line([tuple(a), tuple(b)], fill=ink, width=pw_)
+        for q in (a, b):
+            draw.ellipse([q[0] - pw_ / 2, q[1] - pw_ / 2,
+                          q[0] + pw_ / 2, q[1] + pw_ / 2], fill=ink)
+    return np.asarray(pil, np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Scene composition
 # ---------------------------------------------------------------------------
@@ -274,6 +371,8 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
     page, page_corners = render_page(
         puzzle, rng, grid_px=gpx, newsprint=(category == "newsprint"),
         handwritten=(category == "handwritten"))
+    if category == "curved_page":
+        page, page_corners = _cylinder_curve(page, page_corners, rng, gpx)
     if category == "facing_pages":
         # Open puzzle book: a decoy page with ANOTHER full sudoku grid
         # sits left of the target page across a shaded gutter (the
@@ -373,6 +472,9 @@ def render_scene(rng, size=(1512, 2016), category: str | None = None,
     m_fwd = np.linalg.inv(m)
     pts = np.concatenate([page_corners, np.ones((4, 1))], axis=1) @ m_fwd.T
     corners = pts[:, :2] / pts[:, 2:3]
+
+    if category == "occluded":
+        scene = _draw_occluder(scene, corners, rng)
 
     # Category-specific photometrics.
     npr = np.random.default_rng(rng.getrandbits(32))

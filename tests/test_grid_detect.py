@@ -192,3 +192,49 @@ def test_peel_noop_on_clean_grid():
     peeled, _, _ = jax.jit(
         lambda c, l: peel_stolen_corners(c, l, rho=15))(comp, lat_dil)
     np.testing.assert_array_equal(np.asarray(peeled), np.asarray(comp))
+
+
+def test_refine_boundaries_ignores_decoy_line():
+    """A decoy straight line inside the +-16 px snap band (a pen on the
+    page margin) must not drag the outer boundary off the true grid
+    line: the robust snap picks the mass peak nearest nominal, not the
+    whole-band centroid (which measured ~7 px of drift on this setup)."""
+    from sudoku_vision_tpu.cv.extract import refine_boundaries
+
+    h = w = 520
+    lat_h = np.zeros((h, w), np.int8)
+    lat_v = np.zeros((h, w), np.int8)
+    for i in range(10):
+        y = round(i * 50.0)
+        lat_h[max(0, y - 1):y + 2, :460] = 1
+        lat_v[:460, max(0, y - 1):y + 2] = 1
+    # Decoy: a heavier "pen" 12 px below the bottom boundary (450).
+    lat_h[461:466, :500] = 1
+    m_inv = jnp.eye(3, dtype=jnp.float32)   # warp coords == image coords
+    b_y, b_x = jax.jit(lambda lh, lv: refine_boundaries(
+        jnp.asarray(lh), jnp.asarray(lv), m_inv, 1, 450))(lat_h, lat_v)
+    np.testing.assert_allclose(np.asarray(b_y), np.arange(10) * 50.0,
+                               atol=1.5)
+    np.testing.assert_allclose(np.asarray(b_x), np.arange(10) * 50.0,
+                               atol=1.5)
+
+
+def test_refine_boundaries_follows_true_bow():
+    """Legit page-curvature bow (a few px) must still be followed."""
+    from sudoku_vision_tpu.cv.extract import refine_boundaries
+
+    h = w = 520
+    lat_h = np.zeros((h, w), np.int8)
+    lat_v = np.zeros((h, w), np.int8)
+    for i in range(10):
+        y = round(i * 50.0) + 3          # all lines bowed +3 px in y
+        lat_h[max(0, y - 1):y + 2, :460] = 1
+        x = round(i * 50.0)
+        lat_v[:460, max(0, x - 1):x + 2] = 1
+    m_inv = jnp.eye(3, dtype=jnp.float32)
+    b_y, b_x = jax.jit(lambda lh, lv: refine_boundaries(
+        jnp.asarray(lh), jnp.asarray(lv), m_inv, 1, 450))(lat_h, lat_v)
+    np.testing.assert_allclose(np.asarray(b_y), np.arange(10) * 50.0 + 3,
+                               atol=1.5)
+    np.testing.assert_allclose(np.asarray(b_x), np.arange(10) * 50.0,
+                               atol=1.5)
