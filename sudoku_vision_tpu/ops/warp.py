@@ -18,6 +18,7 @@ Two paths:
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax.numpy as jnp
@@ -181,25 +182,38 @@ def scanline_sample_cells_u8(
     # sample the shear wrapped past an image edge).
     y1 = jnp.mod(jnp.rint(jnp.mean(y1f, axis=2)).astype(jnp.int32), h)
     rows = jnp.take(sh, y1.reshape(-1), axis=0).reshape(n, co, w)
-    # Exact x pick: factored one-hot over columns (w padded to rlo*rhi).
-    # rlo = 128 puts the first contraction's output minor dim at the
-    # full lane width (an rlo of 16 wasted 7/8 of every lane register —
-    # measured 10% slower on the batch-32 production shapes; results
-    # are bit-identical, it is pure layout).
-    rlo = 128
-    rhi = -(-w // rlo)
-    pad = rhi * rlo - w
-    if pad:
-        rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pad)))
     xi = jnp.clip(jnp.rint(xs).astype(jnp.int32), 0, w - 1)
-    xhi, xlo = xi // rlo, xi % rlo
-    whi = (xhi[..., None] == jnp.arange(rhi)[None, None, None, :]
-           ).astype(jnp.bfloat16)                        # (n, co, co, rhi)
-    wlo = (xlo[..., None] == jnp.arange(rlo)[None, None, None, :]
-           ).astype(jnp.bfloat16)                        # (n, co, co, rlo)
-    rhl = rows.reshape(n, co, rhi, rlo).astype(jnp.bfloat16)
-    t1 = jnp.einsum("cihl,cijh->cijl", rhl, whi)
-    out = jnp.einsum("cijl,cijl->cij", t1, wlo)
+    from sudoku_vision_tpu.ops.pallas_lattice import on_tpu
+
+    if on_tpu() and os.environ.get("SV_PALLAS_PICK") == "1":
+        # Pallas in-row pick with one-hots built and consumed in VMEM
+        # (ops/pallas_pick.py). Opt-in only: measured 1386 fps vs the
+        # XLA path's 1447 on the batch-32 production bench — the
+        # einsum one-hots fuse well enough that HBM traffic was never
+        # the bottleneck, and the kernel pays VPU one-hot construction
+        # per row block. Kept as the template for in-VMEM gather work.
+        from sudoku_vision_tpu.ops.pallas_pick import pick_columns_u8
+
+        out = pick_columns_u8(rows.reshape(n * co, w),
+                              xi.reshape(n * co, co)).reshape(n, co, co)
+    else:
+        # Exact x pick: factored one-hot over columns (w padded to
+        # rlo*rhi). rlo = 128 puts the first contraction's output minor
+        # dim at the full lane width (an rlo of 16 wasted 7/8 of every
+        # lane register — measured 10% slower on the batch-32 production
+        # shapes; results are bit-identical, it is pure layout).
+        rlo = 128
+        rhi = -(-w // rlo)
+        pad = rhi * rlo - w
+        rows_p = jnp.pad(rows, ((0, 0), (0, 0), (0, pad))) if pad else rows
+        xhi, xlo = xi // rlo, xi % rlo
+        whi = (xhi[..., None] == jnp.arange(rhi)[None, None, None, :]
+               ).astype(jnp.bfloat16)                    # (n, co, co, rhi)
+        wlo = (xlo[..., None] == jnp.arange(rlo)[None, None, None, :]
+               ).astype(jnp.bfloat16)                    # (n, co, co, rlo)
+        rhl = rows_p.reshape(n, co, rhi, rlo).astype(jnp.bfloat16)
+        t1 = jnp.einsum("cihl,cijh->cijl", rhl, whi)
+        out = jnp.einsum("cijl,cijl->cij", t1, wlo)
     # Out-of-bounds samples -> 0 (same contract as nearest_sample_u8).
     inb = (xs >= -0.5) & (xs < w - 0.5) & (ys >= -0.5) & (ys < h - 0.5)
     return jnp.where(inb, jnp.clip(out, 0, 255), 0).astype(jnp.uint8)
