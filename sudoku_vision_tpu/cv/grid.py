@@ -321,40 +321,6 @@ def line_lattice_hv(
     return _bank(binary)
 
 
-def _coarse_labels(mask: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
-    """Connected components on a small binary mask, O(log diameter).
-
-    Hook + pointer-jump scheme (the classic GPU label-equivalence CC):
-    labels are seeded with each pixel's own linear id + 1, so a label
-    value IS a pixel address. One round = a 3x3 masked max-propagation
-    (true 8-connectivity — a wider window would bridge across empty
-    blocks) followed by two pointer jumps L[p] <- L[L[p]-1], which adopt
-    the label of the currently-referenced pixel and double the effective
-    propagation distance. Converges in ~log2(diameter) rounds instead of
-    O(diameter).
-
-    Statically UNROLLED (no lax.while_loop): on this runtime each loop
-    iteration carries a large fixed dispatch cost, so a fixed small unroll
-    of straight-line ops pipelines asynchronously and wins by an order of
-    magnitude over an early-exit loop. `iters` rounds of pool+2 jumps
-    reach components of diameter ~2^iters.
-    """
-    h, w = mask.shape
-    ids = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
-    lbl = jnp.where(mask, ids, 0)
-    for _ in range(iters):
-        p = jax.lax.reduce_window(
-            lbl, 0, jax.lax.max, (3, 3), (1, 1), [(1, 1), (1, 1)])
-        lbl = jnp.where(mask, p, 0)
-        flat = lbl.reshape(-1)
-        for _ in range(2):  # pointer jumps (label id -> that pixel's label)
-            flat = jnp.where(
-                flat > 0,
-                jnp.maximum(flat, flat[jnp.maximum(flat - 1, 0)]), 0)
-        lbl = flat.reshape(h, w)
-    return lbl
-
-
 def _extreme_corners(mask: jnp.ndarray) -> jnp.ndarray:
     """tl/tr/br/bl as argmax of (-x-y, x-y, x+y, -x+y) over mask pixels."""
     h, w = mask.shape
@@ -596,11 +562,20 @@ def grid_region_from_lattice(
     sx = (amax % w) // f
     seed = jnp.zeros((ch, cw), bool).at[sy, sx].set(True)
     region = jnp.logical_and(seed, cmask)
+    # One round = 3x3 OR-dilation (separable: vertical then horizontal
+    # translate-ORs) gated by cmask. Formulated as static pad+slice
+    # translates, NOT reduce_window: the 40 unrolled reduce_window
+    # rounds were 80 unfusable kernel launches (~0.05 ms/frame of pure
+    # dispatch on the coarse mask), while translate-OR chains are
+    # elementwise ops XLA fuses across rounds. Bit-identical output.
     for _ in range(40):
-        grown = jax.lax.reduce_window(
-            region, False, jax.lax.bitwise_or, (3, 3), (1, 1),
-            [(1, 1), (1, 1)])
-        region = jnp.logical_and(grown, cmask)
+        g = jnp.logical_or(region, jnp.logical_or(
+            _translate2d(region, 1, 0, False),
+            _translate2d(region, -1, 0, False)))
+        g = jnp.logical_or(g, jnp.logical_or(
+            _translate2d(g, 0, 1, False),
+            _translate2d(g, 0, -1, False)))
+        region = jnp.logical_and(g, cmask)
     region_full = jnp.repeat(jnp.repeat(region, f, axis=0), f, axis=1)
     region_full = jnp.logical_and(region_full[:h, :w], dmask)
 
