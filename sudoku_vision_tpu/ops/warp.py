@@ -212,8 +212,14 @@ def scanline_sample_cells_u8(
         wlo = (xlo[..., None] == jnp.arange(rlo)[None, None, None, :]
                ).astype(jnp.bfloat16)                    # (n, co, co, rlo)
         rhl = rows_p.reshape(n, co, rhi, rlo).astype(jnp.bfloat16)
-        t1 = jnp.einsum("cihl,cijh->cijl", rhl, whi)
-        out = jnp.einsum("cijl,cijl->cij", t1, wlo)
+        # Contract the LANE one-hot first: the (n, co, co, rhi)
+        # intermediate is bf16 ~1 MB/frame vs ~16 MB for the
+        # hi-first order's (n, co, co, rlo) — the one-hots themselves
+        # fuse into the dots, so the materialized intermediate is the
+        # whole HBM cost. Bit-identical (each sum has exactly one
+        # nonzero term; values <= 255 are exact in bf16).
+        t1 = jnp.einsum("cihl,cijl->cijh", rhl, wlo)
+        out = jnp.einsum("cijh,cijh->cij", t1, whi)
     # Out-of-bounds samples -> 0 (same contract as nearest_sample_u8).
     inb = (xs >= -0.5) & (xs < w - 0.5) & (ys >= -0.5) & (ys < h - 0.5)
     return jnp.where(inb, jnp.clip(out, 0, 255), 0).astype(jnp.uint8)
