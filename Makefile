@@ -63,6 +63,19 @@ train-combined:
 	    --no-clahe --pretrained digit_cnn_v3_final \
 	    --out digit_cnn_v3_combined
 
+# The deployed flagship: combined fine-tune checkpointed by best REAL
+# accuracy on data/real/val (reference ml/train.py:334-341 policy).
+# data/real is the organize_dataset.py split of the labeled cells:
+#   python -m sudoku_vision_tpu.tools.organize_dataset --cells data/cells \
+#       --labels data/cells/labeled_cells.json --out data/real
+train-real:
+	$(PY) -m sudoku_vision_tpu.ml.train --dataset combined \
+	    --data-dir data/synthetic --real-dir data/real --real-weight 5 \
+	    --model v3 --epochs 8 --batch-size 256 --lr 5e-4 \
+	    --augment medium --calibrate --no-clahe \
+	    --pretrained digit_cnn_v3_final --eval-real-dir data/real \
+	    --out digit_cnn_v3_real
+
 evaluate:
 	$(PY) -m sudoku_vision_tpu.ml.evaluate --ckpt digit_cnn_v3 \
 	    --model v3 --data-dir data/synthetic --plots eval_out/

@@ -180,6 +180,15 @@ def calibrate_temperature(logits: np.ndarray, labels: np.ndarray,
     return float(jnp.exp(log_t))
 
 
+def _load_real_any(root: str, split: str = "train") -> CellDataset:
+    """Real cells from either layout: class dirs (<root>/<split>/<0..9>,
+    the organize_dataset.py output) or per-image dirs + labels CSVs
+    (the extract_cells.py output, reference datasets.py:97)."""
+    if os.path.isdir(os.path.join(root, split)):
+        return load_class_dirs(root, split, name=f"real/{split}")
+    return load_real_cells(root)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="TPU digit classifier trainer")
     p.add_argument("--model", choices=list(MODELS), default="v3")
@@ -204,6 +213,13 @@ def main(argv=None) -> int:
                    help="patience in epochs; 0 disables")
     p.add_argument("--calibrate", action="store_true")
     p.add_argument("--pretrained", help="checkpoint name to fine-tune from")
+    p.add_argument("--eval-real-dir",
+                   help="real-cell dir evaluated every epoch; when set, "
+                        "checkpoints are kept by best REAL accuracy with "
+                        "val as tiebreak (reference ml/train.py:193 "
+                        "evaluate_on_real + :334-341 best-by-real policy). "
+                        "Accepts a class-dir root (uses its 'val' split) "
+                        "or a per-image-dirs+CSV root.")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-clahe", action="store_true",
                    help="train WITHOUT the CLAHE preproc stage (fast "
@@ -232,7 +248,8 @@ def main(argv=None) -> int:
                              real.labels[perm[cut:]], "real/val")
     else:  # combined
         train_ds = combine(load_class_dirs(args.data_dir, "train"),
-                           load_real_cells(args.real_dir), args.real_weight)
+                           _load_real_any(args.real_dir, "train"),
+                           args.real_weight)
         val_ds = load_class_dirs(args.data_dir, "val")
     print(f"train: {len(train_ds)} ({train_ds.class_counts().tolist()}), "
           f"val: {len(val_ds)}")
@@ -256,8 +273,13 @@ def main(argv=None) -> int:
     print(f"model {args.model}: {count_parameters(state.params):,} params")
 
     out_name = args.out or f"digit_cnn_{args.model}_{args.dataset}"
+    real_eval_ds = (_load_real_any(args.eval_real_dir, "val")
+                    if args.eval_real_dir else None)
+    if real_eval_ds is not None:
+        print(f"real eval set: {len(real_eval_ds)} cells "
+              f"({real_eval_ds.class_counts().tolist()})")
     history = []
-    best_acc, best_epoch = -1.0, -1
+    best_key, best_acc, best_epoch = (-1.0, -1.0), -1.0, -1
     t_start = time.time()
     for epoch in range(args.epochs):
         t0 = time.time()
@@ -278,19 +300,34 @@ def main(argv=None) -> int:
                "train_acc": float(np.mean(accs)), "val_acc": val_acc,
                "lr": float(sched(state.step)),
                "time_s": round(time.time() - t0, 2)}
+        # Best-checkpoint policy: plain best-val, or — with a real eval
+        # set — best-by-REAL-accuracy with val as tiebreak (reference
+        # ml/train.py:334-341: real data is the deployment distribution;
+        # a synthetic val set can improve while real cells regress).
+        real_acc = None
+        if real_eval_ds is not None:
+            real_acc, real_per_class, _, _ = evaluate(
+                state, model, real_eval_ds, use_clahe=not args.no_clahe)
+            rec["real_acc"] = real_acc
+        key = (val_acc, 0.0) if real_acc is None else (real_acc, val_acc)
         history.append(rec)
         print(f"epoch {epoch}: loss {rec['loss']:.4f} "
               f"train {rec['train_acc']:.4f} val {val_acc:.4f} "
-              f"({rec['time_s']}s)")
-        if val_acc > best_acc:
-            best_acc, best_epoch = val_acc, epoch
-            ckpt.save_variables(out_name, _model_variables(state), {
+              + (f"real {real_acc:.4f} " if real_acc is not None else "")
+              + f"({rec['time_s']}s)")
+        if key > best_key:
+            best_key, best_acc, best_epoch = key, val_acc, epoch
+            meta = {
                 "model": args.model, "dataset": args.dataset,
                 "use_clahe": not args.no_clahe,
                 "val_acc": val_acc, "epoch": epoch,
                 "per_class": per_class.tolist(),
                 "params": count_parameters(state.params),
-            })
+            }
+            if real_acc is not None:
+                meta["real_acc"] = real_acc
+                meta["real_per_class"] = real_per_class.tolist()
+            ckpt.save_variables(out_name, _model_variables(state), meta)
         elif args.early_stop and epoch - best_epoch >= args.early_stop:
             print(f"early stop at epoch {epoch} (best {best_acc:.4f} "
                   f"@ {best_epoch})")

@@ -83,9 +83,12 @@ class PipelineResult:
 
 _MODEL_CLASSES = {"v1": DigitCNN, "v3": DigitCNNv3, "v3light": DigitCNNv3Light}
 
-# Checkpoint fallback chain (reference run_v2.py:104-110).
+# Checkpoint fallback chain (reference run_v2.py:104-110). The flagship
+# is the combined synthetic+real fine-tune, checkpointed best-by-REAL
+# accuracy (reference ml/train.py:334-341): real/test 0.9756 vs the
+# synthetic-only digit_cnn_v3_final's 0.9390 (see COVERAGE.md).
 _CKPT_CHAIN = {
-    "v3": ["digit_cnn_v3_final", "digit_cnn_v3_combined",
+    "v3": ["digit_cnn_v3_real", "digit_cnn_v3_final", "digit_cnn_v3_combined",
            "digit_cnn_v3_noclahe", "digit_cnn_v3", "digit_cnn_v3_synthetic"],
     "v3light": ["digit_cnn_v3light"],
     "v1": ["digit_cnn_v1"],
@@ -130,7 +133,6 @@ def _jitted_graph(h: int, w: int, channels: int, model_name: str,
                        temperature=jnp.float32(temperature),
                        use_clahe=use_clahe, orient=orient,
                        detect_width=detect_width, cell_width=cell_width)
-        gray = img if img.ndim == 2 else None
         from sudoku_vision_tpu import ops
         gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
         m = ops.homography_from_corners(out.corners, (450, 450))
