@@ -38,6 +38,15 @@ class QualityScore(NamedTuple):
     completeness: jnp.ndarray
     geometry: jnp.ndarray
     size: jnp.ndarray
+    # 6th, UNWEIGHTED metric (not part of `overall`, which keeps the
+    # reference's 5-metric formula): line selectivity — how much more
+    # ink sits ON the 20 expected grid lines than at mid-cell bands.
+    # A true sudoku grid is highly selective (lines ~100% covered,
+    # mid-cell bands carry only digit strokes); moiré from photographed
+    # screens covers both equally, which is exactly the failure the
+    # 5 reference metrics cannot see (round-2 tail: a moiré quad scored
+    # overall 88). Gated separately in pipeline/run_v2.py.
+    selectivity: jnp.ndarray
 
     @property
     def is_acceptable(self):
@@ -80,6 +89,38 @@ def compute_completeness(warped_gray: jnp.ndarray) -> jnp.ndarray:
                       for d in (-1, 0, 1)]).max(axis=0)
     coverage = (rows.mean() + cols.mean()) / 2.0
     return jnp.minimum(coverage * 125.0, 100.0)  # 80% coverage -> 100
+
+
+def compute_selectivity(warped_gray: jnp.ndarray) -> jnp.ndarray:
+    """Line-selectivity 0-100: on-line ink coverage minus mid-cell ink
+    coverage, relative to on-line coverage.
+
+    On-bands: ±2 px around the 10+10 expected grid-line positions in the
+    warped binary (the same lattice compute_completeness samples).
+    Off-bands: ±2 px around the 9+9 mid-cell positions, where a real
+    grid has only digit strokes (measured 0.15-0.45 coverage over the
+    e2e corpus) while screen moiré keeps the same stripe coverage it has
+    on-line. selectivity = (on - off) / on: legit grids measure ≥0.55
+    even for handwritten/broken-line scenes; moiré collapses toward 0
+    because at least one stripe family is pitch-incommensurate with the
+    cell lattice.
+    """
+    s = warped_gray.shape[0]
+    binary = adaptive_threshold(warped_gray, 11, 2, invert=True)
+    ink = (binary > 0).astype(jnp.float32)
+    cell = s // 9
+
+    def band_coverage(positions: jnp.ndarray) -> jnp.ndarray:
+        rows = jnp.stack([ink[jnp.clip(positions + d, 0, s - 1), :]
+                          for d in (-2, -1, 0, 1, 2)]).max(axis=0)
+        cols = jnp.stack([ink[:, jnp.clip(positions + d, 0, s - 1)]
+                          for d in (-2, -1, 0, 1, 2)]).max(axis=0)
+        return (rows.mean() + cols.mean()) / 2.0
+
+    on = band_coverage(jnp.clip(jnp.arange(10) * cell, 0, s - 1))
+    off = band_coverage(jnp.arange(9) * cell + cell // 2)
+    sel = (on - off) / jnp.maximum(on, 1e-6)
+    return jnp.clip(sel, 0.0, 1.0) * 100.0
 
 
 def compute_geometry(corners: jnp.ndarray) -> jnp.ndarray:
@@ -126,10 +167,11 @@ def assess_grid_quality(
     compl_ = compute_completeness(warped_gray)
     geom = compute_geometry(corners)
     size = compute_size_score(corners)
+    sel = compute_selectivity(warped_gray)
     overall = (WEIGHTS["sharpness"] * sharp + WEIGHTS["contrast"] * contr
                + WEIGHTS["completeness"] * compl_
                + WEIGHTS["geometry"] * geom + WEIGHTS["size"] * size)
-    return QualityScore(overall, sharp, contr, compl_, geom, size)
+    return QualityScore(overall, sharp, contr, compl_, geom, size, sel)
 
 
 def get_user_feedback(score) -> list[str]:
@@ -146,6 +188,9 @@ def get_user_feedback(score) -> list[str]:
         msgs.append("Grid is skewed — shoot more straight-on")
     if float(score.size) < 50:
         msgs.append("Grid too small — move closer")
+    if float(score.selectivity) < 35:
+        msgs.append("Striped interference (photographed screen?) — "
+                    "grid lines are indistinct from the texture")
     if not msgs:
         msgs.append("Grid quality is good")
     return msgs

@@ -74,12 +74,40 @@ def test_quality_scores_ranges_and_feedback():
     assert 0 <= float(score.overall) <= 100
     assert float(score.geometry) > 90      # perfect square
     assert float(score.completeness) > 60  # full grid lines
+    assert float(score.selectivity) > 55   # clean grid: highly selective
     fb = get_user_feedback(QualityScore(*[np.float32(v) for v in (
-        80, 80, 80, 80, 80, 80)]))
+        80, 80, 80, 80, 80, 80, 80)]))
     assert fb == ["Grid quality is good"]
     fb_bad = get_user_feedback(QualityScore(*[np.float32(v) for v in (
-        20, 20, 20, 20, 20, 20)]))
+        20, 20, 20, 20, 20, 20, 20)]))
     assert len(fb_bad) >= 3
+    assert any("interference" in m for m in fb_bad)
+
+
+def test_selectivity_collapses_on_moire():
+    """The screen-moiré failure class (VERDICT r2 #3): stripe families
+    whose pitch is incommensurate with the 50-px cell lattice cover the
+    expected line positions AND the mid-cell bands, so line selectivity
+    collapses — while the 5 reference metrics all pass (round-2 tail
+    measured overall 88 on such a frame)."""
+    from sudoku_vision_tpu.cv.grid_quality import compute_selectivity
+
+    g = np.full((450, 450), 230, np.uint8)
+    for t in range(0, 450, 7):   # horizontal stripes at 7-px pitch
+        g[t:t + 2, :] = 40
+    for t in range(0, 450, 11):  # vertical stripes at 11-px pitch
+        g[:, t:t + 2] = 40
+    sel = float(jax.jit(compute_selectivity)(jnp.asarray(g)))
+    assert sel < 25, sel
+
+    # Same stripes PLUS a real grid still reads as interference: the
+    # off-bands stay stripe-covered.
+    for i in range(10):
+        t = min(i * 50, 449)
+        g[t - 1:t + 1, :] = 20
+        g[:, t - 1:t + 1] = 20
+    sel = float(jax.jit(compute_selectivity)(jnp.asarray(g)))
+    assert sel < 25, sel
 
 
 def test_empty_mask_separates_digits_from_ghosts():
