@@ -393,7 +393,7 @@ def peel_stolen_corners(comp: jnp.ndarray, lat_dil: jnp.ndarray,
     Rule, per round: pick extremes; score each quad edge's lattice
     coverage (edge_support). An edge below `tau` is DEAD — a true quad
     edge rides the grid's outer line (coverage measured EXACTLY 1.000 on
-    all 4 edges of all 49 e2e cases across 13 scene categories, incl.
+    all 4 edges of all 52 e2e cases across 16 scene categories, incl.
     glare/shadow/motion-blur/far-away/handwritten), so a dead edge
     proves one of its two endpoints is stolen. A dead edge alone cannot
     say WHICH endpoint; flag the one whose OTHER incident edge is
@@ -617,10 +617,23 @@ def detect_grid_full(
     calib_scale: float | None = None,
     debug_stash: dict | None = None,
     peel_rounds: int = 1,
+    binary_mode: str = "adaptive",
+    angle_step: int = 5,
 ):
     """detect_grid plus the intermediate line-family lattices and the
     detect-scale factor — the extraction stage refines cell boundaries
     against the lattices (page-curvature correction).
+
+    ``binary_mode``/``angle_step``/``line_length`` parameterize the
+    cascade strategies (cv/grid_v2.py): every strategy goes through THIS
+    function, so the ink/interior-line gates, dark gate and
+    peel_stolen_corners hardening apply uniformly — a fallback detector
+    must never be easier to fool than the primary one.
+      * binary_mode "adaptive": the standard blurred adaptive threshold;
+        "multi": the illumination/shadow-robust multi-strategy binary
+        (cv/preprocess_v2.py, reference preprocess_v2.py:247).
+      * angle_step: bank density in degrees (3 recovers faint lines the
+        5-degree bank misses at intermediate skews).
 
     All spatial constants (line length, density window, gate offsets,
     support counts) were calibrated on ~950-px detect images.
@@ -642,13 +655,22 @@ def detect_grid_full(
         min(1.5, max(0.4, calib_scale)))
     if r > 0.9:  # near-reference scale: keep the calibrated constants
         r = 1.0
-    binary = adaptive_threshold(
-        gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
+    if binary_mode == "multi":
+        from sudoku_vision_tpu.cv.preprocess_v2 import \
+            preprocess_multi_strategy
+
+        binary = preprocess_multi_strategy(small).binary
+    else:
+        binary = adaptive_threshold(
+            gaussian_blur_u8(small, 5), 11, 2, method="gaussian",
+            invert=True)
 
     from sudoku_vision_tpu.ops.filters import box_mean_u8
     from sudoku_vision_tpu.ops.morphology import erode
 
-    lat_h, lat_v = line_lattice_hv(binary, max(9, round(line_length * r)))
+    lat_h, lat_v = line_lattice_hv(
+        binary, max(9, round(line_length * r)),
+        tuple(range(-45, 46, angle_step)))
     # Ink gate on the LINE CORE: lattice pixels are thickened 3 px across
     # the line, so judge darkness by the windowed minimum (the stroke
     # core) vs the local mean. Real print cores run 50-150 below local

@@ -7,21 +7,34 @@ estimates the rotation angle (:346), and reports which method won
 (GridDetectionResult :23 — corners, confidence, method, rotation_angle,
 is_partial).
 
-TPU redesign: the reference's sequential Python fallbacks (contour ->
-Hough -> rotate-and-retry -> Harris+RANSAC) become FOUR strategies that
-all run unconditionally inside one jit graph, each producing a quad +
-validity; the final pick is arithmetic (highest-confidence valid quad):
+TPU redesign — and, since round 3, HARDENED: every lattice strategy goes
+through cv/grid.py::detect_grid_full, so the ink/interior-line gates,
+the dark-ink gate and peel_stolen_corners apply to fallbacks exactly as
+they do to the primary detector (a fallback that re-admits the
+page-corner decoys the primary learned to peel is a trap, not a
+fallback). The strategies:
 
-  0 (conf .9): line-lattice CC on the standard adaptive binary
-               (cv/grid.py machinery — already rotation-tolerant to
-               +-45 deg, subsuming the reference's rotation retry);
-  1 (conf .8): relaxed line-lattice — half opening length, denser angle
-               bank — recovers broken/faint grid lines (the Hough
-               fallback's role);
-  2 (conf .7): line-lattice on the multi-strategy v2 binary
-               (illumination/shadow robust input);
-  3 (conf .6): ink-blob extreme points without the line constraint
-               (the Harris/RANSAC last resort's role).
+  0 (conf .9): the primary line-lattice detector (cv/grid.py) — already
+               rotation-tolerant to +-45 deg, subsuming the reference's
+               rotation retry (reference cv/grid_v2.py:346);
+  1 (conf .8): relaxed lattice — half opening length (15), 3-degree
+               angle bank — recovers broken/dashed/faint grid lines
+               (the Hough fallback's role, reference cv/grid_v2.py:135);
+  2 (conf .7): lattice on the multi-strategy v2 binary
+               (illumination/shadow robust input, preprocess_v2.py:247);
+  3 (conf .6): Harris corners + vectorized RANSAC quad fit (reference
+               cv/grid_v2.py:272 detect_corners_harris, :293
+               fit_quadrilateral_ransac) — different physics: gradient
+               structure-tensor corners, no line-opening requirement at
+               all. Validated by quad geometry, area, and ink coverage
+               along the candidate edges (edge_support), so a blank-
+               margin chord can't win.
+
+pipeline/run_v2.py uses these as a HOST-SIDE fallback chain: the hot
+path runs strategy 0 only; on found=False it tries 1, 2, 3 in order
+(each its own cached jit). detect_grid() here keeps the reference's
+all-strategies API for direct use and testing: all four run in one jit
+graph and the highest-confidence valid quad wins arithmetically.
 """
 
 from __future__ import annotations
@@ -32,13 +45,22 @@ import jax
 import jax.numpy as jnp
 
 from sudoku_vision_tpu.cv.grid import (
-    _avg_pool, _extreme_corners, grid_region_from_lattice, line_lattice_hv,
+    GridDetection, _avg_pool, _window1d, detect_grid_full, edge_support,
+    order_corners,
 )
-from sudoku_vision_tpu.ops.filters import gaussian_blur_u8
-from sudoku_vision_tpu.ops.threshold import adaptive_threshold
 
-METHODS = ("lattice", "lattice_relaxed", "lattice_v2bin", "ink_blob")
+METHODS = ("lattice", "lattice_relaxed", "lattice_v2bin", "harris_ransac")
 _CONFIDENCE = jnp.asarray([0.9, 0.8, 0.7, 0.6], jnp.float32)
+
+#: (line_length, angle_step, binary_mode) per lattice strategy; strategy
+#: 3 is Harris+RANSAC (no lattice params). Consumed by pipeline/graph.py
+#: ::perceive(detect_strategy=...) so the flagship fallback chain and
+#: this module share one definition.
+STRATEGY_PARAMS = {
+    0: dict(line_length=31, angle_step=5, binary_mode="adaptive"),
+    1: dict(line_length=15, angle_step=3, binary_mode="adaptive"),
+    2: dict(line_length=31, angle_step=5, binary_mode="multi"),
+}
 
 
 class GridDetectionResult(NamedTuple):
@@ -82,69 +104,217 @@ def detect_rotation_angle(corners: jnp.ndarray) -> jnp.ndarray:
     return jnp.degrees(jnp.arctan2(d[1], d[0]))
 
 
-def _quad_from_mask(comp: jnp.ndarray, ds: float, gh: int, gw: int):
-    """Extreme-point quad + stats from a detect-scale component mask."""
-    corners_small = _extreme_corners(comp)
-    corners = corners_small * ds + (ds - 1) / 2.0
-    x, y = corners[:, 0], corners[:, 1]
+# ---------------------------------------------------------------------------
+# Strategy 3: Harris corners + vectorized RANSAC quad fit
+# ---------------------------------------------------------------------------
+
+def _box_f32(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Separable k x k box sum on float32 (zero padding)."""
+    pads = (k // 2, k - 1 - k // 2)
+    y = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, k), (1, 1),
+                              [(0, 0), pads])
+    return jax.lax.reduce_window(y, 0.0, jax.lax.add, (k, 1), (1, 1),
+                                 [pads, (0, 0)])
+
+
+def harris_response(small: jnp.ndarray, window: int = 5,
+                    k: float = 0.04) -> jnp.ndarray:
+    """Harris corner response on a detect-scale uint8 image (reference
+    cv/grid_v2.py:272 detect_corners_harris uses cv2.cornerHarris with
+    blockSize=5, k=0.04 — same structure-tensor math, jax-native)."""
+    g = small.astype(jnp.float32) / 255.0
+    gx = (jnp.pad(g, ((0, 0), (0, 2)))[:, 2:]
+          - jnp.pad(g, ((0, 0), (2, 0)))[:, :-2]) * 0.5
+    gy = (jnp.pad(g, ((0, 2), (0, 0)))[2:]
+          - jnp.pad(g, ((2, 0), (0, 0)))[:-2]) * 0.5
+    ixx = _box_f32(gx * gx, window)
+    iyy = _box_f32(gy * gy, window)
+    ixy = _box_f32(gx * gy, window)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    return det - k * tr * tr
+
+
+def top_corner_candidates(resp: jnp.ndarray, n: int = 128,
+                          nms: int = 9, rel_floor: float = 0.01,
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Strongest `n` corner candidates after local-max suppression.
+
+    Returns ((n, 2) float32 xy, (n,) float32 response). Fixed-size —
+    weak slots carry response 0 and are excluded by the quad fit.
+
+    n must be large enough that the grid's own OUTER corners survive:
+    they are L-junctions, an order weaker than the ~100 interior
+    X-crossings, so n=128 keeps them while ``rel_floor`` (fraction of
+    the strongest response) drops border/noise responses that would
+    otherwise hijack the extreme-point proposals.
+    """
+    h, w = resp.shape
+    local_max = resp == _window1d(_window1d(resp, nms, 0, "max"),
+                                  nms, 1, "max")
+    # Padding artifacts fire along the frame border; a grid corner this
+    # close to the edge is unusable anyway (no margin to warp from).
+    m = nms // 2 + 2
+    border = jnp.zeros((h, w), bool).at[m:h - m, m:w - m].set(True)
+    r = jnp.where(local_max & (resp > 0) & border, resp, 0.0)
+    vals, idx = jax.lax.top_k(r.reshape(-1), n)
+    vals = jnp.where(vals >= rel_floor * vals[0], vals, 0.0)
+    xy = jnp.stack([(idx % w).astype(jnp.float32),
+                    (idx // w).astype(jnp.float32)], axis=-1)
+    return xy, vals
+
+
+def fit_quadrilateral_ransac(
+    cand_xy: jnp.ndarray, cand_val: jnp.ndarray,
+    ink_dil: jnp.ndarray, image_hw: tuple[int, int],
+    min_area_frac: float = 0.06,
+    min_edge_ink: float = 0.55,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vectorized quad fit from corner candidates (reference
+    cv/grid_v2.py:293 fit_quadrilateral_ransac: 100 random Python
+    iterations -> one batched quadrant-biased (256, 4, 2) evaluation).
+
+    score = 0.5 * area_ratio + 0.5 * squareness (the reference's
+    formula) over quads that pass geometry validation AND whose edges
+    ride ink (edge_support vs the dilated ink mask >= min_edge_ink —
+    the round-2 structural hardening applied to this strategy: a chord
+    through blank margin cannot win no matter how corner-like its
+    endpoints are).
+
+    Returns (corners (4,2), found (), score ()).
+    """
+    h, w = image_hw
+    n = cand_xy.shape[0]
+    # Proposal set: uniform random sampling needs ~n^4/24 draws to hit
+    # the one true corner combination among n candidates — hopeless at
+    # n=48. The grid's corners are the EXTREME candidates of their image
+    # quadrant, so bias proposals: take the k=4 centroid-most-distant
+    # candidates per quadrant (relative to the candidate centroid) and
+    # evaluate the full 4^4 = 256-combo cartesian product in one batch.
+    # Deterministic, fixed-shape; decoy extremes (page corners, margin
+    # text) are rejected downstream by the edge-ink gate.
+    centroid = jnp.sum(cand_xy * (cand_val > 0)[:, None], axis=0) \
+        / jnp.maximum(jnp.sum(cand_val > 0), 1)
+    rel = cand_xy - centroid
+    dist = jnp.linalg.norm(rel, axis=1)
+    k = 4
+    quad_of = (rel[:, 0] > 0).astype(jnp.int32) \
+        + 2 * (rel[:, 1] > 0).astype(jnp.int32)          # (n,) 0..3
+    picks = []
+    for q in range(4):
+        score_q = jnp.where((quad_of == q) & (cand_val > 0), dist, -1.0)
+        _, top = jax.lax.top_k(score_q, k)
+        picks.append(top)                                # (k,) indices
+    a, b, c, d = jnp.meshgrid(*picks, indexing="ij")
+    idx = jnp.stack([a.ravel(), b.ravel(), c.ravel(), d.ravel()],
+                    axis=-1)                             # (k^4, 4)
+    pts = cand_xy[idx]                                   # (I, 4, 2)
+    real = (cand_val[idx] > 0).all(axis=1)               # all 4 slots real
+    quads = jax.vmap(order_corners)(pts)
+    valid = jax.vmap(is_valid_quadrilateral)(quads) & real
+
+    x, y = quads[..., 0], quads[..., 1]
+    x2, y2 = jnp.roll(x, -1, axis=1), jnp.roll(y, -1, axis=1)
+    area = 0.5 * jnp.abs(jnp.sum(x * y2 - x2 * y, axis=1))
+    area_ratio = area / float(h * w)
+    sides = jnp.linalg.norm(
+        jnp.roll(quads, -1, axis=1) - quads, axis=-1)    # (I, 4)
+    squareness = sides.min(axis=1) / jnp.maximum(sides.max(axis=1), 1e-3)
+    sup = jax.vmap(lambda q: edge_support(ink_dil, q))(quads)  # (I, 4)
+    valid &= (area_ratio >= min_area_frac) & (sup.min(axis=1)
+                                              >= min_edge_ink)
+    score = jnp.where(valid, 0.5 * area_ratio + 0.5 * squareness, -1.0)
+    best = jnp.argmax(score)
+    return quads[best], score[best] > 0, score[best]
+
+
+def detect_grid_harris_small(small: jnp.ndarray,
+                             min_area_frac: float = 0.06) -> GridDetection:
+    """Harris+RANSAC on an already-pooled detect-scale uint8 image.
+
+    Returns a cv/grid.py::GridDetection (corners in SMALL coords) so
+    pipeline/graph.py can drop it in where the lattice detector's result
+    goes. fill is reported as 1.0: the strategy has no line component to
+    measure, and its own ink gate is the per-edge ``edge_sup``.
+    """
+    from sudoku_vision_tpu.ops.filters import gaussian_blur_u8
+    from sudoku_vision_tpu.ops.threshold import adaptive_threshold
+
+    binary = adaptive_threshold(
+        gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
+    ink_dil = _window1d(_window1d((binary > 0).astype(jnp.uint8),
+                                  5, 0, "max"), 5, 1, "max")
+    resp = harris_response(small)
+    xy, vals = top_corner_candidates(resp)
+    corners_small, found, _ = fit_quadrilateral_ransac(
+        xy, vals, ink_dil, small.shape, min_area_frac=min_area_frac)
+    x, y = corners_small[:, 0], corners_small[:, 1]
     area2 = jnp.abs(
         (x[0] * y[1] - x[1] * y[0]) + (x[1] * y[2] - x[2] * y[1])
         + (x[2] * y[3] - x[3] * y[2]) + (x[3] * y[0] - x[0] * y[3]))
-    area_frac = area2 / 2.0 / jnp.float32(gh * gw)
-    fill = jnp.sum(comp).astype(jnp.float32) * ds * ds / jnp.maximum(
-        area2 / 2.0, 1.0)
-    return corners, area_frac, fill
+    hw = jnp.float32(small.shape[0] * small.shape[1])
+    return GridDetection(
+        corners=corners_small, found=found,
+        area_frac=area2 / 2.0 / hw, fill=jnp.float32(1.0),
+        edge_sup=edge_support(ink_dil, corners_small))
 
 
-def _best_component(lat_h: jnp.ndarray, lat_v: jnp.ndarray,
-                    density_window: int = 61):
-    """Grid-region isolation via two-family line-density (see
-    grid.grid_region_from_lattice — one-shot, no label propagation)."""
-    comp = grid_region_from_lattice(lat_h, lat_v, density_window)
-    return comp, jnp.any(comp)
+def detect_grid_harris(gray: jnp.ndarray, detect_width: int = 950,
+                       min_area_frac: float = 0.06,
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Harris+RANSAC strategy on its own: (corners full-res, found)."""
+    gh, gw = gray.shape
+    ds = max(1, round(max(gh, gw) / detect_width))
+    small = jnp.clip(jnp.rint(_avg_pool(gray, ds)), 0, 255).astype(jnp.uint8)
+    det = detect_grid_harris_small(small, min_area_frac)
+    corners = det.corners * float(ds) + (ds - 1) / 2.0
+    return corners, det.found
 
+
+# ---------------------------------------------------------------------------
+# The all-strategies cascade (reference detect_grid, cv/grid_v2.py:401)
+# ---------------------------------------------------------------------------
 
 def detect_grid(
     gray: jnp.ndarray,
     detect_width: int = 950,
     min_area_frac: float = 0.06,
 ) -> GridDetectionResult:
-    """Confidence-ranked cascade (reference cv/grid_v2.py:401)."""
+    """Confidence-ranked cascade (reference cv/grid_v2.py:401).
+
+    All four strategies run unconditionally in one graph; the final pick
+    is arithmetic (highest-confidence valid quad). For the hot path use
+    pipeline/run_v2.py's sequential host-side fallback instead — it runs
+    strategy 0 only until it fails.
+    """
     gh, gw = gray.shape
-    ds = max(1, round(max(gh, gw) / detect_width))
-    small = jnp.clip(jnp.rint(_avg_pool(gray, ds)), 0, 255).astype(jnp.uint8)
-    binary = adaptive_threshold(
-        gaussian_blur_u8(small, 5), 11, 2, method="gaussian", invert=True)
 
-    # Strategy inputs.
-    lat0 = line_lattice_hv(binary, 31)
-    lat1 = line_lattice_hv(binary, 15, tuple(range(-45, 46, 3)))
-    from sudoku_vision_tpu.cv.preprocess_v2 import preprocess_multi_strategy
-
-    v2bin = preprocess_multi_strategy(small).binary
-    lat2 = line_lattice_hv(v2bin, 31)
-    ink = (binary > 0).astype(jnp.int32)
-
-    quads, valids, areas, fills = [], [], [], []
-    for pair in (lat0, lat1, lat2, (ink, ink)):
-        comp, found_any = _best_component(*pair)
-        corners, area_frac, fill = _quad_from_mask(comp, float(ds), gh, gw)
-        ok = (found_any & (area_frac >= min_area_frac)
-              & is_valid_quadrilateral(corners))
-        quads.append(corners)
+    quads, valids, fills = [], [], []
+    for strat in range(3):
+        det = detect_grid_full(gray, detect_width, min_area_frac,
+                               **STRATEGY_PARAMS[strat])[0]
+        ok = det.found & is_valid_quadrilateral(det.corners)
+        quads.append(det.corners)
         valids.append(ok)
-        areas.append(area_frac)
-        fills.append(fill)
+        fills.append(det.fill)
+    h_corners, h_found = detect_grid_harris(gray, detect_width,
+                                            min_area_frac)
+    quads.append(h_corners)
+    valids.append(h_found)
+    fills.append(jnp.float32(1.0))
 
     quads_a = jnp.stack(quads)          # (4, 4, 2)
     valids_a = jnp.stack(valids)        # (4,)
-    areas_a = jnp.stack(areas)
     fills_a = jnp.stack(fills)
 
     score = jnp.where(valids_a, _CONFIDENCE, 0.0)
     best = jnp.argmax(score).astype(jnp.int32)
     found = valids_a[best]
     corners = quads_a[best]
+    x, y = corners[:, 0], corners[:, 1]
+    area2 = jnp.abs(
+        (x[0] * y[1] - x[1] * y[0]) + (x[1] * y[2] - x[2] * y[1])
+        + (x[2] * y[3] - x[3] * y[2]) + (x[3] * y[0] - x[0] * y[3]))
     return GridDetectionResult(
         corners=corners,
         found=found,
@@ -152,6 +322,6 @@ def detect_grid(
         method=best,
         rotation_angle=detect_rotation_angle(corners),
         is_partial=jnp.logical_and(found, fills_a[best] < 0.08),
-        area_frac=areas_a[best],
+        area_frac=area2 / 2.0 / jnp.float32(gh * gw),
         all_valid=valids_a,
     )

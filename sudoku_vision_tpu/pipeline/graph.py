@@ -53,6 +53,7 @@ def perceive(
     sample_mode: str = "scanline",
     orient: str = "fixed",
     packed_bgr: bool = False,
+    detect_strategy: int = 0,
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray.
 
@@ -90,7 +91,22 @@ def perceive(
     see PLAN.md round-2 notes before retrying. (Half-scale-everything
     was likewise rejected: grid lines drop below 1 px at ds=8 and the
     lattice collapses.)
+
+    detect_strategy selects the grid detector (cv/grid_v2.py's cascade,
+    reference cv/grid_v2.py:401): 0 = primary line-lattice (the hot
+    path), 1 = relaxed lattice (short openings, dense angle bank — for
+    broken/faint lines), 2 = lattice on the multi-strategy v2 binary
+    (illumination/shadow), 3 = Harris+RANSAC. All lattice strategies run
+    through detect_grid_full, so the dark-ink/interior-line gates and
+    peel_stolen_corners hardening apply uniformly. run_v2 drives 1-3 as
+    a host-side fallback chain on found=False; each strategy is its own
+    cached jit (cold-path compile, zero hot-path cost).
     """
+    strategy_kw = {}
+    if detect_strategy in (1, 2):
+        from sudoku_vision_tpu.cv.grid_v2 import STRATEGY_PARAMS
+
+        strategy_kw = STRATEGY_PARAMS[detect_strategy]
     if img.ndim == 3 or packed_bgr:
         if packed_bgr:
             assert img.ndim == 2 and img.shape[1] % 3 == 0, img.shape
@@ -111,8 +127,14 @@ def perceive(
         # baseline (for small inputs both targets give ds=1 — the image
         # is untouched and the constants must be too).
         ds_calib = max(1, round(max(gh, gw) / 950.0))
-        det, lat_h, lat_v, ds_inner, _ = detect_grid_full(
-            gray_det, calib_scale=ds_calib / ds_det0)
+        if detect_strategy == 3:
+            from sudoku_vision_tpu.cv.grid_v2 import detect_grid_harris_small
+
+            det, lat_h, lat_v, ds_inner = (
+                detect_grid_harris_small(gray_det), None, None, 1)
+        else:
+            det, lat_h, lat_v, ds_inner, _ = detect_grid_full(
+                gray_det, calib_scale=ds_calib / ds_det0, **strategy_kw)
         ds_det = ds_det0 * ds_inner
         # Cells sample a finer level (XLA CSEs the two pools if equal).
         small = (gray_det if ds_cell == ds_det0
@@ -122,12 +144,30 @@ def perceive(
         det = det._replace(
             corners=det.corners * float(ds_det0) + (ds_det0 - 1) / 2.0)
     else:
-        det, lat_h, lat_v, ds_det, small = detect_grid_full(img)
+        if detect_strategy == 3:
+            from sudoku_vision_tpu.cv.grid import _avg_pool
+            from sudoku_vision_tpu.cv.grid_v2 import detect_grid_harris_small
+
+            gh, gw = img.shape
+            ds_det = max(1, round(max(gh, gw) / detect_width))
+            small = jnp.clip(jnp.rint(_avg_pool(img, ds_det)),
+                             0, 255).astype(jnp.uint8)
+            det, lat_h, lat_v = detect_grid_harris_small(small), None, None
+            det = det._replace(
+                corners=det.corners * float(ds_det) + (ds_det - 1) / 2.0)
+        else:
+            det, lat_h, lat_v, ds_det, small = detect_grid_full(
+                img, **strategy_kw)
         ds = ds_det
     m = ops.homography_from_corners(det.corners, (warp_size, warp_size))
     m_inv = jnp.linalg.inv(m)
-    # Snap cell boundaries to the detected grid lines (page-curvature fix).
-    b_y, b_x = refine_boundaries(lat_h, lat_v, m_inv, ds_det, warp_size)
+    # Snap cell boundaries to the detected grid lines (page-curvature
+    # fix) — lattice strategies only; Harris has no lattices, so cells
+    # fall back to uniform boundaries.
+    if lat_h is None:
+        b_y = b_x = None
+    else:
+        b_y, b_x = refine_boundaries(lat_h, lat_v, m_inv, ds_det, warp_size)
     # Sample cells from the detect-scale image: at 28px per ~40px cell it
     # loses nothing, and gathers from a table that fits VMEM run far
     # faster than random access into the 10-megapixel frame.

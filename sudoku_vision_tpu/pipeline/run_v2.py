@@ -45,6 +45,11 @@ class PipelineConfig:
     beam_width: int = 5
     max_corrections: int = 3
     min_quality_score: float = 40.0
+    # Line-selectivity floor (0-100): rejects photographed-screen moiré
+    # where stripe families mimic grid lines (see
+    # cv/grid_quality.py::compute_selectivity). 0 = gate off; the
+    # calibrated default lands with the corpus measurement commit.
+    min_selectivity: float = 0.0
     solver_timeout_s: float = 5.0
     model: str = "v3"
     check_quality: bool = True
@@ -58,6 +63,13 @@ class PipelineConfig:
     # pipeline/graph.py::perceive for the accuracy tradeoffs.
     detect_width: int = 950
     cell_width: int = 950
+    # Detection fallback cascade (reference cv/grid_v2.py:401): when the
+    # primary line-lattice detector reports found=False, retry with the
+    # cascade strategies (cv/grid_v2.py STRATEGY_PARAMS + Harris+RANSAC)
+    # host-side, in confidence order. Each strategy is its own cached
+    # jit — zero cost on the hot path, one-off compile on first use.
+    cascade: bool = True
+    cascade_strategies: tuple = (1, 2, 3)
 
 
 @dataclass
@@ -74,6 +86,7 @@ class PipelineResult:
     corrections: list = field(default_factory=list)
     quality_feedback: list = field(default_factory=list)
     orientation: int = 0  # quarter-turns CCW applied to upright the grid
+    detect_method: str = "lattice"  # cv/grid_v2.py METHODS name that won
     time_graph: float = 0.0
     time_reasoning: float = 0.0
     time_solver: float = 0.0
@@ -120,10 +133,10 @@ def load_model(model_name: str = "v3"):
     return model, variables, temperature, name, use_clahe
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _jitted_graph(h: int, w: int, channels: int, model_name: str,
                   orient: str = "fixed", detect_width: int = 950,
-                  cell_width: int = 950):
+                  cell_width: int = 950, detect_strategy: int = 0):
     model, variables, temperature, ckpt_name, use_clahe = load_model(
         model_name)
 
@@ -132,7 +145,8 @@ def _jitted_graph(h: int, w: int, channels: int, model_name: str,
         out = perceive(img, model, variables,
                        temperature=jnp.float32(temperature),
                        use_clahe=use_clahe, orient=orient,
-                       detect_width=detect_width, cell_width=cell_width)
+                       detect_width=detect_width, cell_width=cell_width,
+                       detect_strategy=detect_strategy)
         from sudoku_vision_tpu import ops
         gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
         m = ops.homography_from_corners(out.corners, (450, 450))
@@ -169,19 +183,29 @@ def run_pipeline(
            np.asarray(image_path_or_array))
     orient = "auto" if config.auto_orient else "fixed"
     shape = img.shape if img.ndim == 3 else (*img.shape, 1)
-    fn, _ = _jitted_graph(*shape, config.model, orient,
-                          config.detect_width, config.cell_width)
+    img_dev = jnp.asarray(img)
 
     t1 = time.perf_counter()
-    out, quality = fn(jnp.asarray(img))
+    from sudoku_vision_tpu.cv.grid_v2 import METHODS
+
+    strategies = (0,) + (tuple(config.cascade_strategies)
+                         if config.cascade else ())
+    for strategy in strategies:
+        fn, _ = _jitted_graph(*shape, config.model, orient,
+                              config.detect_width, config.cell_width,
+                              strategy)
+        out, quality = fn(img_dev)
+        found = bool(out.grid_found)
+        if found:
+            break
+    detect_method = METHODS[strategy] if found else METHODS[0]
     digits = np.asarray(out.digits).reshape(9, 9)
     conf = np.asarray(out.confidence).reshape(9, 9)
     probs = np.asarray(out.probs)
     corners = np.asarray(out.corners)
-    found = bool(out.grid_found)
     qdict = {k: float(getattr(quality, k)) for k in
              ("overall", "sharpness", "contrast", "completeness",
-              "geometry", "size")}
+              "geometry", "size", "selectivity")}
     t2 = time.perf_counter()
 
     base = dict(recognized_grid=digits, corrected_grid=None,
@@ -191,6 +215,7 @@ def run_pipeline(
                 corners=corners, quality=qdict,
                 quality_feedback=get_user_feedback(quality),
                 orientation=int(out.orientation),
+                detect_method=detect_method,
                 time_graph=t2 - t1)
 
     if not found:
@@ -201,6 +226,16 @@ def run_pipeline(
         return PipelineResult(success=False, status="quality_failed",
                               error=f"quality {qdict['overall']:.0f} < "
                                     f"{config.min_quality_score:.0f}",
+                              time_total=time.perf_counter() - t0, **base)
+    if config.check_quality and qdict["selectivity"] < config.min_selectivity:
+        # Separate gate from `overall` (which keeps the reference's
+        # 5-metric formula): moiré from photographed screens passes all
+        # five metrics (round-2 tail scored 88) but collapses line
+        # selectivity (cv/grid_quality.py::compute_selectivity).
+        return PipelineResult(success=False, status="quality_failed",
+                              error="striped interference: selectivity "
+                                    f"{qdict['selectivity']:.0f} < "
+                                    f"{config.min_selectivity:.0f}",
                               time_total=time.perf_counter() - t0, **base)
 
     # --- reasoning: validate -> beam correction -> propagation ---
@@ -289,6 +324,8 @@ def main(argv=None) -> int:
         model=args.model, check_quality=not args.no_quality_check)
     res = run_pipeline(args.image, config)
     print(f"status: {res.status}")
+    if res.detect_method != "lattice":
+        print(f"detection: fallback strategy '{res.detect_method}'")
     print(f"quality: " + ", ".join(
         f"{k}={v:.0f}" for k, v in res.quality.items()))
     if res.quality_feedback:
