@@ -43,6 +43,23 @@ function gridFromScan(data) {
   };
 }
 
+// Map the WASM module's solve() return code to the /solve status
+// vocabulary (native/solver/src/wasm_api.cpp: 1 = solved,
+// 0 = unsolvable, -1 = invalid — the reference wasm contract,
+// reference solver/src/wasm_api.c:40).
+function statusFromRc(rc) {
+  return rc === 1 ? 'solved' : (rc === 0 ? 'unsolvable' : 'invalid');
+}
+
+// Decide where a solve should run: the server when reachable, the local
+// WASM module when loaded, otherwise fail with a message. Pure decision
+// logic for the fallback chain in commitEdit/solveLocal.
+function solveRoute(serverReachable, wasmState) {
+  if (serverReachable) return 'server';
+  if (wasmState === false) return 'fail';
+  return 'wasm';
+}
+
 // ---------- local WASM solver fallback ----------
 //
 // Capability parity with the reference's browser-local solving
@@ -78,11 +95,10 @@ async function solveLocal(rec) {
     setCell((i / 9) | 0, i % 9, Number(rec[i]));
   }
   const rc = m.cwrap('solve', 'number', [])();
-  if (rc !== 1) return {status: rc === 0 ? 'unsolvable' : 'invalid',
-                        solution: null};
+  if (rc !== 1) return {status: statusFromRc(rc), solution: null};
   let sol = '';
   for (let i = 0; i < 81; i++) sol += String(getCell((i / 9) | 0, i % 9));
-  return {status: 'solved', solution: sol};
+  return {status: statusFromRc(rc), solution: sol};
 }
 
 // ---------- DOM app (skipped when loaded without a document) ----------
@@ -263,7 +279,8 @@ function initApp() {
 }
 
 if (typeof window !== 'undefined') {
-  window.SV = {applyEdit, classForCell, gridFromScan, solveLocal};
+  window.SV = {applyEdit, classForCell, gridFromScan, statusFromRc,
+               solveRoute, solveLocal};
   if (typeof document !== 'undefined' && document.getElementById) {
     document.addEventListener('DOMContentLoaded', initApp);
     if (document.readyState !== 'loading') initApp();
