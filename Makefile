@@ -68,11 +68,20 @@ train-combined:
 # data/real is the organize_dataset.py split of the labeled cells:
 #   python -m sudoku_vision_tpu.tools.organize_dataset --cells data/cells \
 #       --labels data/cells/labeled_cells.json --out data/real
+# Scene cells: pipeline-harvested deployment-distribution crops
+# (detect->warp->extract artifacts incl. residual rotation). Without
+# them, real-cell fine-tunes drift the boundary and flip marginal
+# deployment cells (PLAN.md round-3 whack-a-mole).
+harvest-scenes:
+	$(PY) -m sudoku_vision_tpu.tools.harvest_scene_cells \
+	    --n 132 --seed-base 31000 --out data/scene_cells
+
 train-real:
 	$(PY) -m sudoku_vision_tpu.ml.train --dataset combined \
 	    --data-dir data/synthetic --real-dir data/real --real-weight 5 \
-	    --model v3 --epochs 8 --batch-size 256 --lr 5e-4 \
-	    --augment medium --calibrate --no-clahe \
+	    --real-empty-weight 1 --scene-dir data/scene_cells \
+	    --model v3 --epochs 10 --batch-size 256 \
+	    --lr 3e-4 --augment medium --rot-deg 32 --calibrate --no-clahe \
 	    --pretrained digit_cnn_v3_final --eval-real-dir data/real \
 	    --out digit_cnn_v3_real
 

@@ -64,10 +64,21 @@ def _affine_sample(img: jnp.ndarray, mat: jnp.ndarray) -> jnp.ndarray:
 
 
 def augment_batch(
-    images: jnp.ndarray, key: jax.Array, level: str = "medium"
+    images: jnp.ndarray, key: jax.Array, level: str = "medium",
+    rot_deg: float | None = None,
 ) -> jnp.ndarray:
-    """Random geometric + photometric augmentation, uint8 -> uint8."""
+    """Random geometric + photometric augmentation, uint8 -> uint8.
+
+    rot_deg overrides the level's rotation range alone: the deployed
+    pipeline leaves up to ~±30° of residual glyph rotation after the
+    lattice detector + auto-orientation (ml/generate_scenes.py 'rotated'
+    category), which is beyond every level's default — fine-tunes must
+    keep covering it or they forget rotated digits into 'empty'
+    (round-3 regression, tests/test_orientation.py).
+    """
     p = AugmentParams(*LEVELS[level])
+    if rot_deg is not None:
+        p = p._replace(rot=float(rot_deg))
     b, s, _ = images.shape
     keys = jax.random.split(key, 8)
     x = images.astype(jnp.float32)

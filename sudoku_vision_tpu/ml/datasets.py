@@ -111,13 +111,29 @@ def load_real_cells(root: str, labels_csv: Optional[str] = None) -> CellDataset:
 
 
 def combine(synthetic: CellDataset, real: CellDataset,
-            real_weight: int = 5) -> CellDataset:
-    """Synthetic + real with real oversampling (reference datasets.py:205)."""
-    images = np.concatenate(
-        [synthetic.images] + [real.images] * real_weight)
-    labels = np.concatenate(
-        [synthetic.labels] + [real.labels] * real_weight)
-    return CellDataset(images, labels, "combined")
+            real_weight: int = 5,
+            real_empty_weight: int | None = None) -> CellDataset:
+    """Synthetic + real with real oversampling (reference datasets.py:205).
+
+    real_empty_weight lets the empty class (0) be oversampled LESS than
+    digits. Harvested real cells are empty-dominated (a sudoku grid is
+    ~60% blanks), so a flat real_weight multiplies that imbalance into a
+    skewed class prior — round 3 measured the deployed model flipping
+    low-margin digits to 'empty' after such a fine-tune. Empty cells are
+    also the EASY class (blank paper); the scarce signal worth
+    oversampling is the ~40% that carry printed digits.
+    """
+    if real_empty_weight is None:
+        real_empty_weight = real_weight
+    digit = real.labels != 0
+    parts_img = [synthetic.images]
+    parts_lab = [synthetic.labels]
+    parts_img += [real.images[digit]] * real_weight
+    parts_lab += [real.labels[digit]] * real_weight
+    parts_img += [real.images[~digit]] * real_empty_weight
+    parts_lab += [real.labels[~digit]] * real_empty_weight
+    return CellDataset(np.concatenate(parts_img),
+                       np.concatenate(parts_lab), "combined")
 
 
 def load_mnist(split: str = "train") -> CellDataset:
