@@ -194,6 +194,72 @@ def evaluate_checkpoint(ckpt_name: str, model_name: str, ds: CellDataset,
     return summary
 
 
+def mc_dropout_report(ckpt_name: str, model_name: str, ds: CellDataset,
+                      n_samples: int = 10, seed: int = 0,
+                      batch_size: int = 512) -> dict:
+    """MC-dropout uncertainty quality report (consumes
+    models/cnn.py::forward_with_uncertainty, reference ml/model_v3.py:186).
+
+    Uncertainty is only useful if it RANKS errors above correct
+    predictions, so the report measures that directly: mean predictive
+    std on wrong vs right cells, and error recall among the
+    most-uncertain decile (how many of the model's mistakes a
+    top-10%-uncertainty review queue would catch — the manual-correction
+    UI's prioritization signal).
+    """
+    import jax
+
+    from sudoku_vision_tpu.cv.extract import preprocess_cells_for_model
+    from sudoku_vision_tpu.ml import checkpoint as ckpt
+    from sudoku_vision_tpu.models import forward_with_uncertainty
+
+    model = MODELS[model_name]()
+    variables = ckpt.load_variables_or_none(ckpt_name)
+    if variables is None:
+        raise FileNotFoundError(f"checkpoint {ckpt_name} not found")
+    meta = ckpt.load_metadata(ckpt_name)
+    use_clahe = bool(meta.get("use_clahe", True))
+    rng = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(raw, key):
+        x = preprocess_cells_for_model(raw, use_clahe)
+        return forward_with_uncertainty(model, variables, x, key,
+                                        n_samples=n_samples)
+
+    means, stds = [], []
+    for i in range(0, len(ds), batch_size):
+        raw = ds.images[i:i + batch_size]
+        pad = batch_size - len(raw)
+        if pad:
+            raw = np.concatenate(
+                [raw, np.zeros((pad, 28, 28), np.uint8)])
+        rng, k = jax.random.split(rng)
+        m, s = run(jnp.asarray(raw), k)
+        means.append(np.asarray(m)[:batch_size - pad])
+        stds.append(np.asarray(s)[:batch_size - pad])
+    mean = np.concatenate(means)
+    std = np.concatenate(stds)
+    preds = mean.argmax(axis=1)
+    # Uncertainty score: std of the predicted class's probability.
+    unc = std[np.arange(len(preds)), preds]
+    wrong = preds != ds.labels
+    order = np.argsort(-unc)
+    decile = order[:max(1, len(order) // 10)]
+    report = {
+        "checkpoint": ckpt_name, "n": len(ds),
+        "mc_samples": n_samples,
+        "accuracy_mc_mean": float((~wrong).mean()),
+        "mean_std_correct": float(unc[~wrong].mean()) if (~wrong).any()
+        else None,
+        "mean_std_wrong": float(unc[wrong].mean()) if wrong.any() else None,
+        "errors_in_top_decile_uncertainty":
+            float(wrong[decile].sum() / max(1, wrong.sum()))
+            if wrong.any() else None,
+    }
+    return report
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="digit classifier evaluation")
     p.add_argument("--ckpt", required=True)
@@ -203,6 +269,9 @@ def main(argv=None) -> int:
     p.add_argument("--data-dir", default="data/synthetic")
     p.add_argument("--split", default="val")
     p.add_argument("--plots", help="directory for PNG reports")
+    p.add_argument("--mc-dropout", type=int, default=0, metavar="N",
+                   help="add an MC-dropout uncertainty report with N "
+                        "stochastic passes (reference ml/model_v3.py:186)")
     args = p.parse_args(argv)
     if args.dataset == "mnist":
         ds = load_mnist("test")
@@ -211,6 +280,9 @@ def main(argv=None) -> int:
     else:
         ds = load_class_dirs(args.data_dir, args.split)
     summary = evaluate_checkpoint(args.ckpt, args.model, ds, args.plots)
+    if args.mc_dropout:
+        summary["mc_dropout"] = mc_dropout_report(
+            args.ckpt, args.model, ds, n_samples=args.mc_dropout)
     print(json.dumps(summary, indent=2))
     return 0
 

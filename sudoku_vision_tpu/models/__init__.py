@@ -12,9 +12,10 @@ from sudoku_vision_tpu.models.cnn import (
     DigitCNNv3Light,
     EmptyClassifier,
     count_parameters,
+    forward_with_uncertainty,
 )
 
 __all__ = [
     "DigitCNN", "DigitCNNv3", "DigitCNNv3Light", "EmptyClassifier",
-    "count_parameters",
+    "count_parameters", "forward_with_uncertainty",
 ]

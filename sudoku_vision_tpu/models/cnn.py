@@ -126,7 +126,14 @@ class DigitCNNv3(nn.Module):
     head_dropout: float = 0.3
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, temperature=None):
+    def __call__(self, x, *, train: bool = False, temperature=None,
+                 mc_dropout: bool = False):
+        # mc_dropout: stochastic dropout with FROZEN BatchNorm running
+        # averages — the MC-dropout inference mode (reference
+        # ml/model_v3.py:186 sets only the dropout layers to train).
+        # Plain train=True would switch BN to batch statistics, which
+        # corrupts predictions on small/padded inference batches.
+        drop = train or mc_dropout
         x = x.astype(self.dtype)
         x = nn.Conv(self.stem, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(x)
@@ -134,11 +141,11 @@ class DigitCNNv3(nn.Module):
         x = nn.relu(x)
         for ch, st in self.blocks:
             x = ResidualBlock(ch, st, dtype=self.dtype)(x, train=train)
-        x = SpatialDropout(self.spatial_dropout)(x, deterministic=not train)
+        x = SpatialDropout(self.spatial_dropout)(x, deterministic=not drop)
         x = jnp.mean(x, axis=(1, 2))  # GAP
         x = nn.Dense(128, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dropout(self.head_dropout, deterministic=not train)(x)
+        x = nn.Dropout(self.head_dropout, deterministic=not drop)(x)
         logits = nn.Dense(NUM_CLASSES, dtype=self.dtype)(x)
         logits = logits.astype(jnp.float32)
         if temperature is not None:
@@ -152,7 +159,9 @@ class DigitCNNv3Light(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, temperature=None):
+    def __call__(self, x, *, train: bool = False, temperature=None,
+                 mc_dropout: bool = False):
+        drop = train or mc_dropout  # see DigitCNNv3.__call__
         x = x.astype(self.dtype)
         for ch, st in ((32, 1), (64, 2), (128, 2)):
             x = nn.Conv(ch, (3, 3), strides=(st, st), padding="SAME",
@@ -163,7 +172,7 @@ class DigitCNNv3Light(nn.Module):
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(96, dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.3, deterministic=not train)(x)
+        x = nn.Dropout(0.3, deterministic=not drop)(x)
         logits = nn.Dense(NUM_CLASSES, dtype=self.dtype)(x).astype(jnp.float32)
         if temperature is not None:
             logits = logits / temperature
@@ -194,11 +203,12 @@ def forward_with_uncertainty(
     (reference ml/model_v3.py:186)."""
 
     def one(key):
-        # train=True enables dropout; batch stats are frozen (mutable
-        # collection discarded) so only the dropout masks vary.
-        logits, _ = model.apply(
-            variables, x, train=True, rngs={"dropout": key},
-            mutable=["batch_stats"])
+        # mc_dropout=True: stochastic dropout masks, BatchNorm on its
+        # frozen running averages (round-3 fix — the earlier train=True
+        # variant silently switched BN to batch statistics, which
+        # wrecks accuracy on small or zero-padded inference batches).
+        logits = model.apply(
+            variables, x, mc_dropout=True, rngs={"dropout": key})
         return jax.nn.softmax(logits, axis=-1)
 
     probs = jax.vmap(one)(jax.random.split(rng, n_samples))
