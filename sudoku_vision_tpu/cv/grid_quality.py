@@ -98,12 +98,16 @@ def compute_selectivity(warped_gray: jnp.ndarray) -> jnp.ndarray:
     On-bands: ±2 px around the 10+10 expected grid-line positions in the
     warped binary (the same lattice compute_completeness samples).
     Off-bands: ±2 px around the 9+9 mid-cell positions, where a real
-    grid has only digit strokes (measured 0.15-0.45 coverage over the
-    e2e corpus) while screen moiré keeps the same stripe coverage it has
-    on-line. selectivity = (on - off) / on: legit grids measure ≥0.55
-    even for handwritten/broken-line scenes; moiré collapses toward 0
-    because at least one stripe family is pitch-incommensurate with the
-    cell lattice.
+    grid has only digit strokes, while screen moiré keeps the same
+    stripe coverage it has on-line (at least one stripe family is
+    pitch-incommensurate with the cell lattice).
+
+    Round-3 calibration (6 goldens + 52 e2e scenes + 16 fresh screens):
+    legit quads score 33.5-72; CORRECTLY-detected screen grids 29-44
+    (their mid-cell bands are moiré-polluted yet the pipeline solves
+    them); the degenerate stripe-lattice quad scores exactly 0. So this
+    metric separates garbage quads from everything solvable, not
+    "screens" from "paper" — gate accordingly (run_v2 uses 20).
     """
     s = warped_gray.shape[0]
     binary = adaptive_threshold(warped_gray, 11, 2, invert=True)
@@ -188,7 +192,7 @@ def get_user_feedback(score) -> list[str]:
         msgs.append("Grid is skewed — shoot more straight-on")
     if float(score.size) < 50:
         msgs.append("Grid too small — move closer")
-    if float(score.selectivity) < 35:
+    if float(score.selectivity) < 25:
         msgs.append("Striped interference (photographed screen?) — "
                     "grid lines are indistinct from the texture")
     if not msgs:

@@ -45,11 +45,15 @@ class PipelineConfig:
     beam_width: int = 5
     max_corrections: int = 3
     min_quality_score: float = 40.0
-    # Line-selectivity floor (0-100): rejects photographed-screen moiré
-    # where stripe families mimic grid lines (see
-    # cv/grid_quality.py::compute_selectivity). 0 = gate off; the
-    # calibrated default lands with the corpus measurement commit.
-    min_selectivity: float = 0.0
+    # Line-selectivity floor (0-100): rejects DEGENERATE moiré quads
+    # (photographed screens where stripe lattices, not the grid, won
+    # detection). Round-3 calibration over 6 goldens + 52 e2e scenes +
+    # 16 fresh screen scenes: every legit quad >= 33.5, correctly
+    # detected screen grids 29-44 (moiré pollutes their mid-cell bands
+    # but they still SOLVE — the gate must not reject them), the one
+    # garbage moiré quad scored exactly 0.0. 20 splits garbage from
+    # everything that can solve with a 9-point margin.
+    min_selectivity: float = 20.0
     solver_timeout_s: float = 5.0
     model: str = "v3"
     check_quality: bool = True

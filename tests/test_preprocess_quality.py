@@ -97,8 +97,11 @@ def test_selectivity_collapses_on_moire():
         g[t:t + 2, :] = 40
     for t in range(0, 450, 11):  # vertical stripes at 11-px pitch
         g[:, t:t + 2] = 40
+    from sudoku_vision_tpu.pipeline.run_v2 import PipelineConfig
+
+    gate = PipelineConfig().min_selectivity
     sel = float(jax.jit(compute_selectivity)(jnp.asarray(g)))
-    assert sel < 25, sel
+    assert sel < gate, (sel, gate)
 
     # Same stripes PLUS a real grid still reads as interference: the
     # off-bands stay stripe-covered.
