@@ -18,6 +18,7 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 
 import jax
@@ -194,6 +195,125 @@ def _copy_v3_weights(tm, variables, temperature=None):
     return tm
 
 
+@contextlib.contextmanager
+def _onnxscript_postprocess_bypass():
+    """Let torch's TorchScript ONNX exporter finish without the `onnx`
+    package.
+
+    The exporter serializes the ModelProto entirely in torch's own C++;
+    its ONE use of `onnx` is `_add_onnxscript_fn`, a post-pass that
+    re-parses the proto to append onnxscript custom-function definitions.
+    Our mirrors lower to standard ATen->ONNX ops only (no onnxscript
+    functions), for which that pass provably returns `model_bytes`
+    unchanged — so when `onnx` is absent we swap in the identity. The
+    written file is byte-identical to what an onnx-equipped torch would
+    produce. Structure is still checked: verify_onnx falls back to a
+    dependency-free proto walk (reference ml/export.py:47's checker
+    role)."""
+    try:
+        import onnx  # noqa: F401  (real package present: no bypass)
+
+        yield
+        return
+    except ImportError:
+        pass
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils,
+        )
+    except ImportError:  # torch layout changed: fall through untouched
+        yield
+        return
+    orig = onnx_proto_utils._add_onnxscript_fn
+    onnx_proto_utils._add_onnxscript_fn = (
+        lambda model_bytes, custom_opsets: model_bytes)
+    try:
+        yield
+    finally:
+        onnx_proto_utils._add_onnxscript_fn = orig
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    val = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val, i
+        shift += 7
+
+
+def _proto_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message's wire
+    format — varints as ints, length-delimited as bytes."""
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, i = _read_varint(buf, i)
+        elif wire == 2:
+            n, i = _read_varint(buf, i)
+            val = buf[i:i + n]
+            i += n
+        elif wire == 5:
+            val = buf[i:i + 4]
+            i += 4
+        elif wire == 1:
+            val = buf[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def walk_onnx_minimal(path: str) -> dict:
+    """Dependency-free structural read of an .onnx file (ModelProto wire
+    format): ir_version, opset(s), graph op_types, and the input's batch
+    dim_param. Used by verify_onnx when the `onnx` package is absent."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    out = {"ir_version": None, "opsets": [], "op_types": [],
+           "batch_dim_param": None}
+    graph = None
+    for field, _, val in _proto_fields(buf):
+        if field == 1:  # ir_version
+            out["ir_version"] = val
+        elif field == 8:  # opset_import: OperatorSetIdProto
+            dom, ver = "", None
+            for f2, _, v2 in _proto_fields(val):
+                if f2 == 1:
+                    dom = v2.decode()
+                elif f2 == 2:
+                    ver = v2
+            out["opsets"].append((dom, ver))
+        elif field == 7:  # graph
+            graph = val
+    if graph is not None:
+        for field, _, val in _proto_fields(graph):
+            if field == 1:  # node: NodeProto, op_type = field 4
+                for f2, _, v2 in _proto_fields(val):
+                    if f2 == 4:
+                        out["op_types"].append(v2.decode())
+            elif field == 11:  # input: ValueInfoProto
+                # type(2).tensor_type(1).shape(2).dim[0](1).dim_param(3)
+                # then dim[0](1).dim_param(2)
+                cur = [val]
+                for f_want in (2, 1, 2, 1):
+                    nxt = []
+                    for c in cur:
+                        for f2, w2, v2 in _proto_fields(c):
+                            if f2 == f_want and w2 == 2:
+                                nxt.append(v2)
+                    cur = nxt[:1] if f_want == 1 else nxt
+                if cur:
+                    for f2, w2, v2 in _proto_fields(cur[0]):
+                        if f2 == 2 and w2 == 2:
+                            out["batch_dim_param"] = v2.decode()
+    return out
+
+
 def export_to_onnx(ckpt_name: str, model_name: str, out_path: str,
                    opset: int = 13, verify: bool = True,
                    fold_temperature: bool = True) -> str:
@@ -238,11 +358,14 @@ def export_to_onnx(ckpt_name: str, model_name: str, out_path: str,
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     try:
-        torch.onnx.export(
-            tm, torch.zeros(1, 1, 28, 28), out_path, opset_version=opset,
-            input_names=["input"], output_names=["logits"],
-            dynamic_axes={"input": {0: "batch"}, "logits": {0: "batch"}},
-            dynamo=False)
+        with _onnxscript_postprocess_bypass():
+            torch.onnx.export(
+                tm, torch.zeros(1, 1, 28, 28), out_path,
+                opset_version=opset,
+                input_names=["input"], output_names=["logits"],
+                dynamic_axes={"input": {0: "batch"},
+                              "logits": {0: "batch"}},
+                dynamo=False)
     except (ImportError, ModuleNotFoundError, RuntimeError,
             torch.onnx.OnnxExporterError) as e:
         # The onnx serializer package is absent in this environment;
@@ -258,11 +381,22 @@ def export_to_onnx(ckpt_name: str, model_name: str, out_path: str,
 
 
 def verify_onnx(path: str) -> bool:
-    """ONNX checker (reference ml/export.py:47); gated on onnx presence."""
+    """ONNX checker (reference ml/export.py:47); falls back to the
+    dependency-free wire-format walk when `onnx` is absent — asserts a
+    parseable ModelProto with an opset, conv+matmul compute nodes, and
+    the dynamic batch axis."""
     try:
         import onnx
     except ImportError:
-        print("onnx package not available; skipping structural check")
+        info = walk_onnx_minimal(path)
+        assert info["ir_version"], f"no ir_version in {path}"
+        assert any(v and v >= 7 for _, v in info["opsets"]), info["opsets"]
+        ops = set(info["op_types"])
+        assert "Conv" in ops and ops & {"Gemm", "MatMul"}, ops
+        assert info["batch_dim_param"] == "batch", info["batch_dim_param"]
+        print(f"onnx package absent; wire-format walk OK: "
+              f"ir={info['ir_version']} opsets={info['opsets']} "
+              f"{len(info['op_types'])} nodes")
         return True
     onnx.checker.check_model(onnx.load(path))
     return True
@@ -352,10 +486,18 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="v1")
     p.add_argument("--out", required=True)
     p.add_argument("--opset", type=int, default=13)
-    p.add_argument("--format", choices=("onnx", "coreml"), default="onnx")
+    p.add_argument("--format", choices=("onnx", "coreml", "torchscript"),
+                   default="onnx")
     args = p.parse_args(argv)
     if args.format == "coreml":
         path = convert_to_coreml(args.ckpt, args.model, args.out)
+    elif args.format == "torchscript":
+        import torch
+
+        tm = build_torch_mirror(args.ckpt, args.model)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        torch.jit.trace(tm, torch.zeros(1, 1, 28, 28)).save(args.out)
+        path = args.out
     else:
         path = export_to_onnx(args.ckpt, args.model, args.out, args.opset)
         verify_onnx(path)
