@@ -365,6 +365,10 @@ def make_handler(engine: InferenceEngine):
                 self._static("scanner.html", "text/html")
             elif self.path == "/scanner.js":
                 self._static("scanner.js", "application/javascript")
+            elif self.path == "/sudoku.js":
+                self._static("sudoku.js", "application/javascript")
+            elif self.path == "/sudoku.wasm":
+                self._static("sudoku.wasm", "application/wasm")
             else:
                 self._json({"error": "not found"}, 404)
 

@@ -64,9 +64,11 @@ function solveRoute(serverReachable, wasmState) {
 //
 // Capability parity with the reference's browser-local solving
 // (web/src/solver.ts: dynamic sudoku.js load + cwrap bindings). The
-// module is emitted by `make -C native/solver wasm` (emcc) next to this
-// file; when absent (emcc not installed) or the load fails, solving
-// stays on POST /solve. Returns {status, solution} like the endpoint.
+// module is emitted toolchain-free by `make -C native/solver wasm`
+// (native/solver/emit_wasm.py assembles sudoku.wasm; sudoku.js is the
+// hand-written loader standing in for the MODULARIZE glue); if the
+// load fails, solving stays on POST /solve. Returns {status, solution}
+// like the endpoint.
 let _wasm = null;            // resolved module, false = unavailable
 async function solveLocal(rec) {
   if (_wasm === false) return null;

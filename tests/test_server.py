@@ -134,6 +134,14 @@ def test_healthz_and_static_pages(server):
     for marker in (b"/scan", b"/solve", b"applyEdit", b"alternatives",
                    b"liveDetectTick", b"drawCorners", b"commitEdit"):
         assert marker in js, f"scanner.js missing {marker!r}"
+    # Browser-local solver assets (scanner.js's offline fallback loads
+    # /sudoku.js which instantiates /sudoku.wasm — test_wasm_artifact.py
+    # executes the artifact itself against the native oracle).
+    loader, ctype = _get(base, "/sudoku.js")
+    assert "javascript" in ctype and b"SudokuSolver" in loader
+    wasm, ctype = _get(base, "/sudoku.wasm")
+    assert ctype == "application/wasm"
+    assert wasm[:8] == b"\x00asm\x01\x00\x00\x00"
 
 
 def test_letterbox_roundtrip():
