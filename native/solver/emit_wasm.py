@@ -164,12 +164,13 @@ class Body:
         """push grid[local idx]"""
         return self.get(idx_local).i32(4).mul().load(self.GRID)
 
-    def mask_addr(self, base: int, unit_local: int):
-        """push byte address of mask[base][local unit]"""
+    def mask_addr(self, unit_local: int):
+        """push mask element offset (unit*4); the base-table byte offset
+        is applied by the subsequent load/store immediate"""
         return self.get(unit_local).i32(4).mul()
 
     def load_mask(self, base: int, unit_local: int):
-        return self.mask_addr(base, unit_local).load(base)
+        return self.mask_addr(unit_local).load(base)
 
     def rcb(self, idx_local: int, r: int, c: int, b: int):
         """locals r,c,b = idx/9, idx%9, (r/3)*3 + c/3"""
@@ -181,12 +182,12 @@ class Body:
 
     def or_into_mask(self, base: int, unit_local: int, bit_local: int):
         """mask[unit] |= bit (also used with xor for undo via op arg)"""
-        self.mask_addr(base, unit_local)
+        self.mask_addr(unit_local)
         self.load_mask(base, unit_local).get(bit_local).or_()
         return self.store(base)
 
     def xor_into_mask(self, base: int, unit_local: int, bit_local: int):
-        self.mask_addr(base, unit_local)
+        self.mask_addr(unit_local)
         self.load_mask(base, unit_local).get(bit_local).xor()
         return self.store(base)
 

@@ -12,9 +12,13 @@ native/solver/emit_wasm.py. Unknown opcodes raise instead of
 misexecuting, so drift between emitter and VM fails loudly.
 
 Not a general-purpose runtime: correctness over speed (it still solves
-the "evil" benchmark tier in well under a second), and no attempt at
-spec-complete trap semantics beyond what the tests exercise
-(out-of-bounds memory access raises IndexError naturally).
+the "evil" benchmark tier in well under a second). Loads/stores compute
+the effective address as unsigned and explicitly range-check it (trap =
+IndexError). On load, every function body is structurally validated
+with the spec's control-frame stack-height algorithm (operand counts,
+br depths and arities, end-of-block heights), so a spec-invalid module
+emitted by a future emit_wasm.py edit fails here instead of only in a
+real browser's WebAssembly.instantiate.
 """
 from __future__ import annotations
 
@@ -118,6 +122,7 @@ class WasmModule:
             elif sid == 10:
                 self._parse_code(body)
             # other sections (custom, etc.) are skipped
+        self._validate()
 
     def _parse_types(self, r: _Reader) -> None:
         for _ in range(r.uleb()):
@@ -251,6 +256,106 @@ class WasmModule:
             return (simple[op],)
         raise ValueError(f"unsupported opcode 0x{op:02X}")
 
+    # ----------------------------------------------------------- validate
+
+    # Net stack effect (pops, pushes) of every simple instruction.
+    _EFFECTS = {
+        "i32.const": (0, 1), "local.get": (0, 1), "local.set": (1, 0),
+        "local.tee": (1, 1), "i32.load": (1, 1), "i32.store": (2, 0),
+        "drop": (1, 0), "eqz": (1, 1), "clz": (1, 1), "ctz": (1, 1),
+        "popcnt": (1, 1),
+    }
+    for _op in ("eq", "ne", "lt_s", "lt_u", "gt_s", "gt_u", "le_s",
+                "le_u", "ge_s", "ge_u", "add", "sub", "mul", "div_s",
+                "div_u", "rem_s", "rem_u", "and", "or", "xor", "shl",
+                "shr_s", "shr_u"):
+        _EFFECTS[_op] = (2, 1)
+    del _op
+
+    def _validate(self) -> None:
+        """Spec-style structural validation of every function body.
+
+        All values are i32 in this profile, so type checking reduces to
+        the control-frame stack-height algorithm: track the operand
+        stack height per frame, check operand counts, br label depths
+        and arities, and the exact end-of-block height. A module that
+        fails here would throw in WebAssembly.instantiate; catching it
+        at load keeps emitter regressions from passing the suite.
+        """
+        for fidx, f in enumerate(self.funcs):
+            n_locals = f.n_params + f.locals_count
+            try:
+                self._check_block(f.code, [f.n_results], f.n_results,
+                                  n_locals)
+            except ValueError as e:
+                raise ValueError(f"func {fidx} invalid: {e}") from None
+
+    def _check_block(self, code: list, labels: list[int], arity: int,
+                     n_locals: int) -> None:
+        """Validate one instruction sequence. `labels` is the br-target
+        arity per depth (innermost first; the function frame is the
+        outermost). Raises ValueError on any violation."""
+        h = 0
+
+        def pop(n: int) -> None:
+            nonlocal h
+            if h < n:
+                raise ValueError(f"stack underflow (have {h}, need {n})")
+            h -= n
+
+        for i, ins in enumerate(code):
+            op = ins[0]
+            eff = self._EFFECTS.get(op)
+            if eff is not None:
+                if op in ("local.get", "local.set", "local.tee") \
+                        and ins[1] >= n_locals:
+                    raise ValueError(f"local index {ins[1]} out of range")
+                pop(eff[0])
+                h += eff[1]
+            elif op == "call":
+                if ins[1] >= len(self.funcs):
+                    raise ValueError(f"call index {ins[1]} out of range")
+                callee = self.funcs[ins[1]]
+                pop(callee.n_params)
+                h += callee.n_results
+            elif op == "block" or op == "loop":
+                # br to a block targets its end (arity values); br to a
+                # loop targets its start (no values in wasm 1.0).
+                inner = ([ins[1]] if op == "block" else [0]) + labels
+                self._check_block(ins[2], inner, ins[1], n_locals)
+                h += ins[1]
+            elif op == "if":
+                pop(1)
+                if ins[1] and not ins[3]:
+                    raise ValueError("if with result arity needs an else")
+                inner = [ins[1]] + labels
+                self._check_block(ins[2], inner, ins[1], n_locals)
+                if ins[3]:
+                    self._check_block(ins[3], inner, ins[1], n_locals)
+                h += ins[1]
+            elif op == "br" or op == "br_if":
+                if ins[1] >= len(labels):
+                    raise ValueError(f"br depth {ins[1]} out of range")
+                need = labels[ins[1]]
+                if op == "br_if":
+                    pop(1 + need)
+                    h += need       # height unchanged when not taken
+                else:
+                    pop(need)
+                    if i + 1 != len(code):
+                        raise ValueError("dead code after br unsupported")
+                    return          # unreachable end: any height is fine
+            elif op == "return":
+                pop(labels[-1])
+                if i + 1 != len(code):
+                    raise ValueError("dead code after return unsupported")
+                return
+            else:
+                raise ValueError(f"unknown op {op}")
+        if h != arity:
+            raise ValueError(
+                f"block ends at height {h}, result arity {arity}")
+
     # ------------------------------------------------------------ execute
 
     def call(self, export_name: str, *args: int) -> int | None:
@@ -284,11 +389,15 @@ class WasmModule:
             elif op == "local.tee":
                 loc[ins[1]] = st[-1]
             elif op == "i32.load":
-                addr = _s32(st.pop()) + ins[1]
+                addr = (st.pop() & MASK32) + ins[1]
+                if addr + 4 > len(self.memory):
+                    raise IndexError(f"i32.load OOB at {addr}")
                 st.append(struct.unpack_from("<I", self.memory, addr)[0])
             elif op == "i32.store":
                 val = st.pop()
-                addr = _s32(st.pop()) + ins[1]
+                addr = (st.pop() & MASK32) + ins[1]
+                if addr + 4 > len(self.memory):
+                    raise IndexError(f"i32.store OOB at {addr}")
                 struct.pack_into("<I", self.memory, addr, val)
             elif op == "call":
                 f = self.funcs[ins[1]]

@@ -4,7 +4,9 @@ The reference's e2e strategy (tests/e2e_runner.py over
 data/test_e2e/ground_truth.json) as a pytest: every golden image must
 detect, recognize every cell (405/405), and solve. Gated behind
 SV_GOLDEN=1 because it needs the real device + trained checkpoint and
-minutes of compile on cold caches:
+minutes of compile on cold caches. With SV_GOLDEN=1, conftest.py leaves
+the real backend enabled (it otherwise pins pytest to a virtual CPU
+mesh) — run this file ON ITS OWN, not inside the full suite:
 
     SV_GOLDEN=1 python -m pytest tests/test_golden_e2e.py -q
 """

@@ -141,17 +141,17 @@ def test_already_solved_grid(vm):
     assert np.array_equal(read(vm), want)
 
 
-def test_artifact_reproducible():
+def test_artifact_reproducible(tmp_path):
     """Re-running the emitter reproduces the checked-in bytes — the
     `make -C native/solver wasm` build is deterministic without emcc."""
+    rebuild = tmp_path / "sudoku_rebuild.wasm"
     out = subprocess.run(
-        [sys.executable, EMITTER, "/tmp/sudoku_rebuild.wasm"],
+        [sys.executable, EMITTER, str(rebuild)],
         capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     with open(ARTIFACT, "rb") as f:
         shipped = f.read()
-    with open("/tmp/sudoku_rebuild.wasm", "rb") as f:
-        rebuilt = f.read()
+    rebuilt = rebuild.read_bytes()
     assert shipped == rebuilt
     assert shipped[:8] == b"\x00asm\x01\x00\x00\x00"
 
@@ -174,3 +174,56 @@ def test_loader_shim_contract():
                "cell_candidates"):
         assert fn in vm.exports and vm.exports[fn][0] == "func"
     assert vm.exports["memory"][0] == "memory"
+
+
+# ----------------------------------------------------- validator (negative)
+
+def _module_with_body(body_bytes: bytes, n_results: int = 0) -> bytes:
+    """Assemble a 1-function module: () -> i32*n_results, given raw body
+    instruction bytes (validator negative-test harness)."""
+    sys.path.insert(0, os.path.dirname(EMITTER))
+    try:
+        import emit_wasm as ew
+    finally:
+        sys.path.pop(0)
+    ftype = b"\x60" + ew.vec([]) + ew.vec([bytes([ew.I32])] * n_results)
+    code = ew.vec([]) + body_bytes + b"\x0B"
+    return (b"\x00asm\x01\x00\x00\x00"
+            + ew.section(1, ew.vec([ftype]))
+            + ew.section(3, ew.vec([ew.uleb(0)]))
+            + ew.section(5, ew.vec([b"\x00\x01"]))      # 1 page memory
+            + ew.section(7, ew.vec([ew.name("f") + b"\x00" + ew.uleb(0)]))
+            + ew.section(10, ew.vec([ew.uleb(len(code)) + code])))
+
+
+@pytest.mark.parametrize("body,n_results,msg", [
+    (b"\x6A", 0, "underflow"),                      # add on empty stack
+    (b"\x41\x01\x0C\x05", 0, "br depth"),           # br 5: no such label
+    (b"\x41\x01", 0, "arity"),                      # void fn leaves a value
+    (b"", 1, "arity"),                              # i32 fn leaves nothing
+    (b"\x41\x01\x21\x07", 0, "local index"),        # local.set 7: none exist
+    (b"\x41\x01\x04\x7F\x41\x01\x0B", 1, "else"),   # if with result, no else
+])
+def test_validator_rejects_invalid_modules(body, n_results, msg):
+    """Spec-invalid bodies must fail at load (WasmModule.__init__), not
+    misexecute — this is what a browser's WebAssembly.instantiate would
+    reject, so emitter regressions fail loudly without one."""
+    blob = _module_with_body(body, n_results)
+    with pytest.raises(ValueError, match=msg):
+        wasm_vm.WasmModule(blob)
+
+
+def test_oob_memory_access_traps():
+    """Unsigned effective addresses: a 'negative' (high-bit) address must
+    trap, not silently read the last bytes of memory (the artifact's own
+    exports bounds-check row/col, so drive the VM with a raw body)."""
+    # i32.const -4; i32.load; drop — old code read end-relative, new traps.
+    blob = _module_with_body(b"\x41\x7C\x28\x02\x00\x1A", 0)
+    m = wasm_vm.WasmModule(blob)
+    with pytest.raises(IndexError):
+        m.call("f")
+    # in-range store/load still fine
+    blob = _module_with_body(
+        b"\x41\x08\x41\x07\x36\x02\x00"        # mem[8] = 7
+        b"\x41\x08\x28\x02\x00\x1A", 0)        # load it back, drop
+    wasm_vm.WasmModule(blob).call("f")
