@@ -380,13 +380,19 @@ def export_to_onnx(ckpt_name: str, model_name: str, out_path: str,
     return out_path
 
 
-def verify_onnx(path: str) -> bool:
-    """ONNX checker (reference ml/export.py:47); falls back to the
-    dependency-free wire-format walk when `onnx` is absent — asserts a
-    parseable ModelProto with an opset, conv+matmul compute nodes, and
-    the dynamic batch axis."""
+def verify_onnx(path: str, ckpt_name: str | None = None,
+                model_name: str = "v3") -> bool:
+    """ONNX verification (reference ml/export.py:47). Structure: the
+    onnx checker when the package exists, else the dependency-free
+    wire-format walk (parseable ModelProto, opset, conv+matmul nodes,
+    dynamic batch axis). Numerics: when `ckpt_name` is given, the graph
+    is EXECUTED by the in-repo numpy evaluator (ml/onnx_eval.py — the
+    onnxruntime stand-in, same pattern as utils/wasm_vm.py) and its
+    logits asserted against the flax checkpoint: any wrong initializer,
+    transposed weight, or misfolded op in the file fails here."""
     try:
         import onnx
+        onnx.checker.check_model(onnx.load(path))
     except ImportError:
         info = walk_onnx_minimal(path)
         assert info["ir_version"], f"no ir_version in {path}"
@@ -397,9 +403,45 @@ def verify_onnx(path: str) -> bool:
         print(f"onnx package absent; wire-format walk OK: "
               f"ir={info['ir_version']} opsets={info['opsets']} "
               f"{len(info['op_types'])} nodes")
-        return True
-    onnx.checker.check_model(onnx.load(path))
+    if ckpt_name is not None:
+        err, agree = verify_onnx_numerics(path, ckpt_name, model_name)
+        print(f"onnx numerics vs flax {ckpt_name}: maxerr={err:.4f}, "
+              f"argmax agreement={agree:.3f}")
     return True
+
+
+def verify_onnx_numerics(path: str, ckpt_name: str,
+                         model_name: str = "v3",
+                         x: "np.ndarray | None" = None,
+                         tol: float = 0.05) -> tuple[float, float]:
+    """Execute the .onnx file in numpy and compare logits against the
+    flax source checkpoint. Returns (max_abs_err, argmax_agreement) and
+    asserts err < tol (the export-time torch-mirror tolerance: BN
+    folding + accumulation order differ from flax at the 1e-2 level)
+    and 100% argmax agreement."""
+    from sudoku_vision_tpu.ml import checkpoint as ckpt
+    from sudoku_vision_tpu.ml import onnx_eval
+    from sudoku_vision_tpu.models import DigitCNN, DigitCNNv3
+
+    variables = ckpt.load_variables_or_none(ckpt_name)
+    if variables is None:
+        raise FileNotFoundError(ckpt_name)
+    if x is None:
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 28, 28, 1)).astype(np.float32)
+    got = onnx_eval.run_file(path, x.transpose(0, 3, 1, 2))
+    if model_name == "v3":
+        meta = ckpt.load_metadata(ckpt_name) or {}
+        t = meta.get("temperature")
+        want = np.asarray(DigitCNNv3().apply(
+            variables, jnp.asarray(x), temperature=t if t else None))
+    else:
+        want = np.asarray(DigitCNN().apply(variables, jnp.asarray(x)))
+    err = float(np.abs(want - got).max())
+    agree = float((want.argmax(-1) == got.argmax(-1)).mean())
+    assert err < tol, f"onnx numerics mismatch: maxerr {err}"
+    assert agree == 1.0, f"onnx argmax disagrees with flax: {agree}"
+    return err, agree
 
 
 def build_torch_mirror(ckpt_name: str, model_name: str,
