@@ -6,7 +6,7 @@ PY := python
 
 .PHONY: help solver solver-test test test-fast e2e bench data train-v3 \
         train-v1 train-combined evaluate cv-test extract-cells serve \
-        export-onnx clean
+        export-onnx clean sweep harvest-scenes train-real
 
 help:
 	@echo "targets: solver solver-test test e2e bench data train-v3 train-v1"
@@ -72,6 +72,13 @@ train-combined:
 # (detect->warp->extract artifacts incl. residual rotation). Without
 # them, real-cell fine-tunes drift the boundary and flip marginal
 # deployment cells (PLAN.md round-3 whack-a-mole).
+# Fresh-seed robustness sweep with a date-derived seed base: nothing in
+# the repo was ever tuned against today's scenes. Exit 1 on any
+# wrong_solve. The small always-on CPU variant is tests/test_sweep_ci.py.
+sweep:
+	$(PY) -m sudoku_vision_tpu.harness.scene_sweep --n 32 \
+	    --seed-base $$(date +8%Y%m%d) --out /tmp/sweep_failures
+
 harvest-scenes:
 	$(PY) -m sudoku_vision_tpu.tools.harvest_scene_cells \
 	    --n 132 --seed-base 31000 --out data/scene_cells

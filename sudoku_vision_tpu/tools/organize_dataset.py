@@ -3,11 +3,22 @@
 Capability parity with reference tools/organize_dataset.py: consolidate
 labels, stratified 70/15/15 train/val/test split (:90), class-directory
 layout + per-split CSV manifests (:137, :186), and a leakage check
-verifying no file appears in two splits (:231).
+(:231) — extended beyond the reference's file-identity check to GROUP
+(source photo) level: cells from one photo share paper, lighting, lens
+and font, so scattering them across train and test measures same-photo
+memorization, not generalization. The deployment split is photo-level
+(`--by-photo`): whole photos are assigned to splits and the held-out
+test photos are never seen by training OR checkpoint selection.
 
-CLI:
+CLI (cell-level, reference parity):
     python -m sudoku_vision_tpu.tools.organize_dataset \
         --cells data/cells --labels data/cells/labels.csv --out data/real
+
+CLI (photo-level, the honest deployment split):
+    python -m sudoku_vision_tpu.tools.organize_dataset \
+        --cells data/cells --labels data/cells/labeled_cells.json \
+        --out data/real --by-photo --test-photos sample_3,sample_5 \
+        --val-photos sample_4
 """
 
 from __future__ import annotations
@@ -58,14 +69,39 @@ def create_split_manifests(splits: dict, out_dir: str):
                 w.writerow([cls, img, fn])
 
 
-def verify_no_leakage(splits: dict) -> bool:
-    """No sample in two splits (reference :231)."""
+def photo_split(items_by_class: dict, test_photos: set,
+                val_photos: set) -> dict:
+    """Photo-level split: every cell follows its SOURCE photo, so the
+    test photos are entirely unseen paper/lighting/lens/font. Beyond
+    reference tools/organize_dataset.py:90 (which splits at cell level
+    and therefore leaks photo identity into test)."""
+    splits = {"train": [], "val": [], "test": []}
+    for cls, items in sorted(items_by_class.items()):
+        for img, fn in items:
+            if img in test_photos:
+                splits["test"].append((cls, (img, fn)))
+            elif img in val_photos:
+                splits["val"].append((cls, (img, fn)))
+            else:
+                splits["train"].append((cls, (img, fn)))
+    return splits
+
+
+def verify_no_leakage(splits: dict, by_photo: bool = False) -> bool:
+    """No sample in two splits (reference :231). With `by_photo`, also
+    no PHOTO in two splits — the file-identity check alone blesses a
+    split that trains and tests on cells of the same photograph."""
     seen: dict = {}
+    photo_split_of: dict = {}
     for split, entries in splits.items():
         for _, key in entries:
             if key in seen and seen[key] != split:
                 return False
             seen[key] = split
+            if by_photo:
+                photo = key[0] if isinstance(key, tuple) else key
+                if photo_split_of.setdefault(photo, split) != split:
+                    return False
     return True
 
 
@@ -75,6 +111,12 @@ def main(argv=None) -> int:
     p.add_argument("--labels", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--by-photo", action="store_true",
+                   help="assign whole photos to splits (honest holdout)")
+    p.add_argument("--test-photos", default="",
+                   help="comma-separated photo stems held out for test")
+    p.add_argument("--val-photos", default="",
+                   help="comma-separated photo stems for selection val")
     args = p.parse_args(argv)
 
     items_by_class = defaultdict(list)
@@ -82,8 +124,18 @@ def main(argv=None) -> int:
         for row in csv.DictReader(f):
             items_by_class[int(row["label"])].append(
                 (row["image"], row["filename"]))
-    splits = stratified_split(items_by_class, seed=args.seed)
-    assert verify_no_leakage(splits), "split leakage detected"
+    if args.by_photo:
+        test_p = {s for s in args.test_photos.split(",") if s}
+        val_p = {s for s in args.val_photos.split(",") if s}
+        all_p = {img for items in items_by_class.values()
+                 for img, _ in items}
+        missing = (test_p | val_p) - all_p
+        assert not missing, f"unknown photos: {missing}"
+        splits = photo_split(items_by_class, test_p, val_p)
+        assert verify_no_leakage(splits, by_photo=True), "photo leakage"
+    else:
+        splits = stratified_split(items_by_class, seed=args.seed)
+        assert verify_no_leakage(splits), "split leakage detected"
     copy_files_to_split(splits, args.cells, args.out)
     create_split_manifests(splits, args.out)
     for split, entries in splits.items():
