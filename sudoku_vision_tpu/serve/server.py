@@ -24,6 +24,12 @@ Serving design (TPU-first):
 
 Endpoints:
   POST /scan      body: image file (jpeg/png)  -> full pipeline JSON
+  POST /scan?session=<id>  streaming session: the server keeps Kalman
+                  stabilizer + motion-detector + identical-grids-gate
+                  state across the client's frame stream and fires the
+                  solve ONCE per stable segment (the reference's live
+                  loop: ios ScanPipeline.swift:245 3-stable-frames gate,
+                  web main.ts:183 rAF loop, cv/stabilizer.py:161)
   POST /solve     body: {"puzzle": "81 chars"} -> solver-only JSON
   GET  /healthz   liveness + device + bucket warmup info
   GET  /          the scanner page (static/scanner.html)
@@ -260,11 +266,6 @@ class InferenceEngine:
     # -- request side -----------------------------------------------------
 
     def scan(self, img_bgr: np.ndarray, top_k: int = 3) -> dict:
-        from sudoku_vision_tpu import solver as native_solver
-        from sudoku_vision_tpu.reasoning import (
-            resolve_conflicts, resolve_with_solver, validate_predictions,
-        )
-
         t0 = time.perf_counter()
         canvas, scale, (off_x, off_y) = letterbox(img_bgr, self.canonical)
         digits, conf, probs, corners, found, n_coalesced = \
@@ -295,33 +296,193 @@ class InferenceEngine:
             for i in range(81)
         ]
         if found:
-            validation = validate_predictions(digits)
-            work = digits
-            corrected = False
-            if not validation.is_valid:
-                res = resolve_conflicts(digits, probs)
-                work = res.grid
-                if not res.success:
-                    # Solver-backed escalation for confidently-wrong
-                    # reads (alternatives below the beam's 0.1 floor).
-                    esc = resolve_with_solver(work, probs)
-                    if esc.success:
-                        work = esc.grid
-                corrected = not np.array_equal(work, digits)
-            sres = native_solver.solve(work, timeout_s=5.0)
-            result["corrected"] = corrected
-            result["status"] = sres.status_name
-            result["solution"] = ("".join(map(str, sres.grid.reshape(-1)))
-                                  if sres.solved else None)
+            result.update(self.reason_and_solve(digits, probs))
         else:
             result["status"] = "detection_failed"
         result["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         return result
 
+    @staticmethod
+    def reason_and_solve(digits: np.ndarray, probs: np.ndarray) -> dict:
+        """Validation -> beam correction -> solver-escalation -> solve
+        (the reference run_v2 reasoning chain, shared by the single-shot
+        and session paths)."""
+        from sudoku_vision_tpu import solver as native_solver
+        from sudoku_vision_tpu.reasoning import (
+            resolve_conflicts, resolve_with_solver, validate_predictions,
+        )
+
+        validation = validate_predictions(digits)
+        work = digits
+        corrected = False
+        if not validation.is_valid:
+            res = resolve_conflicts(digits, probs)
+            work = res.grid
+            if not res.success:
+                # Solver-backed escalation for confidently-wrong
+                # reads (alternatives below the beam's 0.1 floor).
+                esc = resolve_with_solver(work, probs)
+                if esc.success:
+                    work = esc.grid
+            corrected = not np.array_equal(work, digits)
+        sres = native_solver.solve(work, timeout_s=5.0)
+        return {
+            "corrected": corrected,
+            "status": sres.status_name,
+            "solution": ("".join(map(str, sres.grid.reshape(-1)))
+                         if sres.solved else None),
+        }
+
+
+class ScanSession:
+    """Server-side state for one client's live frame stream.
+
+    The reference keeps its live-scanning state on the client (ios
+    ScanPipeline.swift:245 requires 3 identical consecutive recognized
+    grids; cv/stabilizer.py:161 Kalman-smooths corners; :251
+    MotionDetector pauses processing while the camera moves). In the
+    TPU inversion the server owns the graph, so it owns that state too:
+    each frame POSTed with ?session=<id> advances a Kalman corner
+    stabilizer, a motion gate that skips device work while the scene
+    moves, and an identical-grids run counter; the solve fires exactly
+    ONCE per stable segment (re-firing only when a DIFFERENT stable
+    grid appears).
+    """
+
+    def __init__(self, engine: InferenceEngine,
+                 required_stable: int = 3,
+                 motion_threshold: float = 20.0):
+        # motion_threshold: mean abs diff on the ~160px pooled gray.
+        # Measured on 480x640 scenes: 2px hand jitter = ~8, 8px = ~19,
+        # scene change = >100 — 20 passes jitter, trips real motion.
+        from sudoku_vision_tpu.cv.stabilizer import (
+            GridStabilizer, MotionDetector,
+        )
+
+        self.engine = engine
+        self.required_stable = required_stable
+        self.stabilizer = GridStabilizer()
+        self.motion = MotionDetector(threshold=motion_threshold)
+        self.run = 0
+        self.prev_digits: np.ndarray | None = None
+        self.solved_grid: np.ndarray | None = None
+        self.last_solve: dict | None = None
+        self.n_frames = 0
+        self.last_used = time.monotonic()
+        self._lock = threading.Lock()
+
+    def process(self, img_bgr: np.ndarray) -> dict:
+        with self._lock:
+            return self._process(img_bgr)
+
+    def _process(self, img_bgr: np.ndarray) -> dict:
+        self.n_frames += 1
+        self.last_used = time.monotonic()
+        t0 = time.perf_counter()
+        canvas, scale, (off_x, off_y) = letterbox(img_bgr,
+                                                  self.engine.canonical)
+
+        out: dict = {"frame": self.n_frames, "solved_now": False}
+
+        # Motion gate BEFORE any device perception work (reference
+        # MotionDetector pauses processing; CameraManager frame-skip).
+        gray = canvas.mean(axis=2)
+        if self.motion.update(gray):
+            self.run = 0
+            self.prev_digits = None
+            out["state"] = "motion"
+            out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+            return out
+
+        digits, conf, probs, corners, found, _ = \
+            self.engine.batcher.submit(canvas)
+        digits = digits.reshape(81).astype(np.int64)
+        found = bool(found)
+
+        stab = self.stabilizer.update(np.asarray(corners, np.float32),
+                                      found)
+        corners_sm = (np.asarray(stab.corners, np.float64)
+                      - np.array([off_x, off_y])) / scale
+        out["grid_found"] = found
+        out["corners"] = corners_sm.round(1).tolist()
+        out["corners_stable"] = bool(stab.is_stable)
+
+        if not found:
+            self.run = 0
+            self.prev_digits = None
+            out["state"] = "searching"
+            out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+            return out
+
+        # Identical-consecutive-grids gate (ScanPipeline.swift:245).
+        if (self.prev_digits is not None
+                and np.array_equal(digits, self.prev_digits)):
+            self.run += 1
+        else:
+            self.run = 1
+        self.prev_digits = digits
+
+        out["recognized_grid"] = "".join(map(str, digits))
+        out["stable_run"] = self.run
+
+        gate = self.run >= self.required_stable
+        is_new = (self.solved_grid is None
+                  or not np.array_equal(digits, self.solved_grid))
+        if gate and is_new:
+            solve = InferenceEngine.reason_and_solve(
+                digits.reshape(9, 9), probs.reshape(81, 10))
+            solve["confidence"] = conf.reshape(81).round(3).tolist()
+            self.solved_grid = digits
+            self.last_solve = solve
+            out.update(solve)
+            out["solved_now"] = True
+            out["state"] = "solved"
+        elif gate and self.last_solve is not None:
+            out.update(self.last_solve)
+            out["state"] = "solved"
+        else:
+            out["state"] = "stabilizing"
+        out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+        return out
+
+
+class SessionRegistry:
+    """id -> ScanSession with idle expiry (one per streaming client)."""
+
+    def __init__(self, engine: InferenceEngine, ttl_s: float = 120.0,
+                 max_sessions: int = 64):
+        self.engine = engine
+        self.ttl = ttl_s
+        self.max_sessions = max_sessions
+        self._sessions: dict[str, ScanSession] = {}
+        self._lock = threading.Lock()
+
+    def get(self, sid: str, required_stable: int = 3) -> ScanSession:
+        now = time.monotonic()
+        with self._lock:
+            dead = [k for k, s in self._sessions.items()
+                    if now - s.last_used > self.ttl]
+            for k in dead:
+                del self._sessions[k]
+            if sid not in self._sessions:
+                if len(self._sessions) >= self.max_sessions:
+                    oldest = min(self._sessions,
+                                 key=lambda k: self._sessions[k].last_used)
+                    del self._sessions[oldest]
+                self._sessions[sid] = ScanSession(
+                    self.engine, required_stable=required_stable)
+            return self._sessions[sid]
+
+    @property
+    def stats(self):
+        with self._lock:
+            return {"active": len(self._sessions)}
+
 
 def make_handler(engine: InferenceEngine):
     static_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "static")
+    sessions = SessionRegistry(engine)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, obj, code=200):
@@ -360,6 +521,7 @@ def make_handler(engine: InferenceEngine):
                     "buckets": list(engine.buckets),
                     "warm_buckets": engine.warm_buckets,
                     "batcher": engine.batcher.stats,
+                    "sessions": sessions.stats,
                 })
             elif self.path in ("/", "/scanner.html"):
                 self._static("scanner.html", "text/html")
@@ -393,7 +555,7 @@ def make_handler(engine: InferenceEngine):
                                  if res.solved else None),
                     "time_ms": round((time.perf_counter() - t0) * 1e3, 3),
                 })
-            elif self.path == "/scan":
+            elif self.path == "/scan" or self.path.startswith("/scan?"):
                 try:
                     from PIL import Image
 
@@ -401,7 +563,17 @@ def make_handler(engine: InferenceEngine):
                                      .convert("RGB"))[..., ::-1]
                 except Exception:
                     return self._json({"error": "bad image"}, 400)
-                self._json(engine.scan(np.ascontiguousarray(img)))
+                img = np.ascontiguousarray(img)
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                sid = (q.get("session") or [None])[0]
+                if sid:
+                    stable = int((q.get("stable") or [3])[0])
+                    sess = sessions.get(sid, required_stable=stable)
+                    self._json(sess.process(img))
+                else:
+                    self._json(engine.scan(img))
             else:
                 self._json({"error": "not found"}, 404)
 

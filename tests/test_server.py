@@ -156,3 +156,96 @@ def test_letterbox_roundtrip():
     # Content occupies the scaled box.
     nh, nw = round(300 * scale), round(500 * scale)
     assert canvas[oy + nh // 2, ox + nw // 2, 0] == 200
+
+
+# ------------------------------------------------------ streaming session
+
+def _jittered_frames(n=8, seed=11, amp=2):
+    """One scene photographed n times with small camera jitter: np.roll
+    by <=amp px per frame (grid digits identical, corners move)."""
+    rng = random.Random(seed)
+    img, truth = render_scene(rng, size=CANONICAL, category="printed_clean")
+    jr = np.random.default_rng(seed)
+    frames = []
+    shifts = []
+    for _ in range(n):
+        dy, dx = int(jr.integers(-amp, amp + 1)), int(
+            jr.integers(-amp, amp + 1))
+        frames.append(np.roll(img, (dy, dx), axis=(0, 1)))
+        shifts.append((dy, dx))
+    return frames, shifts, truth
+
+
+def _jpeg(frame):
+    buf = io.BytesIO()
+    Image.fromarray(frame[..., ::-1]).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+def test_session_fires_one_solve_at_gate_frame(server):
+    """The streaming contract (reference ios ScanPipeline.swift:245 +
+    cv/stabilizer.py:161): N jittered frames of one scene -> exactly one
+    solve, at the 3-identical-grids gate frame, with Kalman-smoothed
+    corners; subsequent frames keep reporting the cached solution
+    without re-solving."""
+    base, _ = server
+    frames, shifts, truth = _jittered_frames(n=8)
+    results = [_post(base, "/scan?session=s-gate", _jpeg(f))
+               for f in frames]
+
+    solves = [r["solved_now"] for r in results]
+    assert sum(solves) == 1, solves
+    gate_idx = solves.index(True)
+    # the gate cannot fire before 3 identical consecutive recognized
+    # grids exist (frame index >= 2)
+    assert gate_idx >= 2
+    assert results[gate_idx]["stable_run"] >= 3
+    assert results[gate_idx]["status"] == "solved"
+    assert results[gate_idx]["solution"] == truth["solution"]
+    assert results[gate_idx]["recognized_grid"] == truth["puzzle"]
+    # after the gate: state stays solved, cached solution, NO re-solve
+    for r in results[gate_idx + 1:]:
+        assert r["state"] == "solved"
+        assert r["solved_now"] is False
+        assert r["solution"] == truth["solution"]
+
+    # corners are smoothed toward the true (unjittered) corners
+    gt = np.array(truth["corners"], np.float64)
+    last = np.array(results[-1]["corners"])
+    assert np.abs(last - gt).max() < 12.0
+
+
+def test_session_motion_gate_skips_device_work(server):
+    """A moving-camera frame must pause processing (reference
+    MotionDetector cv/stabilizer.py:251): state == motion, no
+    recognition fields, and the stability run restarts after."""
+    base, engine = server
+    frames, _, truth = _jittered_frames(n=6, seed=12)
+    calls_before = engine.batcher.stats["frames"]
+    r1 = _post(base, "/scan?session=s-motion", _jpeg(frames[0]))
+    assert r1["state"] in ("stabilizing", "searching")
+    # violent scene change -> motion gate
+    moved = 255 - frames[1]
+    r2 = _post(base, "/scan?session=s-motion", _jpeg(moved))
+    assert r2["state"] == "motion"
+    assert "recognized_grid" not in r2
+    # ... and back again (inverse is another big diff -> still motion)
+    r3 = _post(base, "/scan?session=s-motion", _jpeg(frames[2]))
+    assert r3["state"] == "motion"
+    # once still, the run restarts from 1 and must rebuild to the gate
+    rs = [_post(base, "/scan?session=s-motion", _jpeg(f))
+          for f in frames[3:]]
+    assert rs[0].get("stable_run") in (None, 1)
+    # motion frames did NOT hit the device graph
+    frames_used = engine.batcher.stats["frames"] - calls_before
+    assert frames_used == 1 + len(rs), (
+        "motion frames must skip the perception graph")
+
+
+def test_session_isolated_from_single_shot(server):
+    """/scan without ?session= keeps the stateless contract."""
+    base, _ = server
+    jpeg, truth = _scene_jpeg()
+    data = _post(base, "/scan", jpeg)
+    assert "solved_now" not in data
+    assert data["status"] == "solved"
