@@ -8,12 +8,17 @@ JS subset the helpers are written in, executing the ACTUAL SHIPPED
 SOURCE — not a Python re-implementation that could drift.
 
 Supported subset (everything the scanner.js pure-helper section uses):
-  * function declarations, `return`, `if`/`else`, `const`/`let`;
+  * function declarations, `return`, `if`/`else`, `const`/`let`,
+    `for (;;)`, `while`, `break`, `continue`, expression statements,
+    assignment incl. compound (`=`, `+=`, `-=`, `*=`, `/=`, `%=`) and
+    postfix `++`/`--` to names, `a[i]`, and `a.b` targets;
   * ternary, `||`, `&&`, `===`, `!==`, `<`, `>`, `<=`, `>=`, `+`, `-`,
-    unary `!`/`-`, parentheses;
-  * string/number/boolean/`null` literals, object literals;
+    `*`, `/`, `%`, bitwise `|`, `&`, `^`, `<<`, `>>` (JS int32
+    semantics), unary `!`/`-`, parentheses;
+  * string/number/boolean/`null` literals, object and array literals;
   * member access (`a.b`), calls, `String(x)`, `Number(x)`,
-    `s.slice(a, b)`, `s.length`.
+    `s.slice(a, b)`, `.length`, `arr.push(x)`, and the `Math` object
+    (floor/round/ceil/trunc/abs/min/max/sqrt/exp/log/pow/hypot/sign).
 
 Anything outside the subset raises JSSubsetError — if a helper is
 edited into unsupported syntax the test fails loudly instead of
@@ -60,11 +65,18 @@ _TOKEN_RE = re.compile(r"""
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<tpl>`(?:[^`\\$]|\\.)*`)
   | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
-  | (?P<punct>===|!==|<=|>=|&&|\|\||=>|[-+*/%(){}\[\],;:.?<>=!])
+  | (?P<punct>===|!==|<=|>=|&&|\|\||=>|\+\+|--|\+=|-=|\*=|/=|%=
+              |<<|>>>|>>|[-+*/%(){}\[\],;:.?<>=!&|^~])
 """, re.VERBOSE)
 
 _KEYWORDS = {"function", "return", "if", "else", "const", "let", "var",
-             "null", "true", "false", "undefined"}
+             "null", "true", "false", "undefined", "for", "while",
+             "break", "continue"}
+
+# Names that signal DOM/async glue leaked into the pure section — reject
+# at load so coverage is never silently lost.
+_REJECTED = {"await", "async", "new", "class", "this", "document",
+             "window", "fetch"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -80,6 +92,9 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
         if kind == "tpl":
             raise JSSubsetError("template literals are outside the subset")
         text = m.group()
+        if kind == "name" and text in _REJECTED:
+            raise JSSubsetError(
+                f"{text!r} is outside the pure subset (DOM/async glue)")
         if kind == "name" and text in _KEYWORDS:
             kind = text
         out.append((kind, text))
@@ -170,7 +185,70 @@ class _Parser:
             if self.peek()[1] == ";":
                 self.next()
             return ("decl", name, expr)
-        raise JSSubsetError(f"unsupported statement at {val!r}")
+        if kind == "while":
+            self.next()
+            self.expect("(")
+            cond = self.expression()
+            self.expect(")")
+            body = (self.block() if self.peek()[1] == "{"
+                    else [self.statement()])
+            return ("while", cond, body)
+        if kind == "for":
+            self.next()
+            self.expect("(")
+            init = None
+            if self.peek()[1] != ";":
+                init = self.statement()     # decl or simple statement
+                if init[0] not in ("decl", "assign", "exprstmt"):
+                    raise JSSubsetError("unsupported for-init")
+            else:
+                self.next()
+            cond = None
+            if self.peek()[1] != ";":
+                cond = self.expression()
+            self.expect(";")
+            update = None
+            if self.peek()[1] != ")":
+                update = self.simple_statement(consume_semi=False)
+            self.expect(")")
+            body = (self.block() if self.peek()[1] == "{"
+                    else [self.statement()])
+            return ("for", init, cond, update, body)
+        if kind == "break":
+            self.next()
+            if self.peek()[1] == ";":
+                self.next()
+            return ("break",)
+        if kind == "continue":
+            self.next()
+            if self.peek()[1] == ";":
+                self.next()
+            return ("continue",)
+        return self.simple_statement()
+
+    _ASSIGN_OPS = {"=", "+=", "-=", "*=", "/=", "%="}
+
+    def simple_statement(self, consume_semi: bool = True):
+        """Assignment, `x++`/`x--`, or a bare expression statement."""
+        target = self.expression()
+        nxt = self.peek()[1]
+        if nxt in self._ASSIGN_OPS:
+            self.next()
+            if target[0] not in ("name", "index", "member"):
+                raise JSSubsetError("invalid assignment target")
+            value = self.expression()
+            node = ("assign", target, nxt, value)
+        elif nxt in ("++", "--"):
+            self.next()
+            if target[0] not in ("name", "index", "member"):
+                raise JSSubsetError("invalid ++/-- target")
+            node = ("assign", target, "+=" if nxt == "++" else "-=",
+                    ("lit", 1))
+        else:
+            node = ("exprstmt", target)
+        if consume_semi and self.peek()[1] == ";":
+            self.next()
+        return node
 
     # --- expressions (precedence climbing) ---
 
@@ -195,10 +273,31 @@ class _Parser:
         return left
 
     def logic_and(self):
-        left = self.equality()
+        left = self.bit_or()
         while self.peek()[1] == "&&":
             self.next()
-            left = ("and", left, self.equality())
+            left = ("and", left, self.bit_or())
+        return left
+
+    def bit_or(self):
+        left = self.bit_xor()
+        while self.peek()[1] == "|":
+            self.next()
+            left = ("bit", "|", left, self.bit_xor())
+        return left
+
+    def bit_xor(self):
+        left = self.bit_and()
+        while self.peek()[1] == "^":
+            self.next()
+            left = ("bit", "^", left, self.bit_and())
+        return left
+
+    def bit_and(self):
+        left = self.equality()
+        while self.peek()[1] == "&":
+            self.next()
+            left = ("bit", "&", left, self.equality())
         return left
 
     def equality(self):
@@ -209,17 +308,32 @@ class _Parser:
         return left
 
     def relational(self):
-        left = self.additive()
+        left = self.shift()
         while self.peek()[1] in ("<", ">", "<=", ">="):
             op = self.next()[1]
-            left = ("cmp", op, left, self.additive())
+            left = ("cmp", op, left, self.shift())
+        return left
+
+    def shift(self):
+        left = self.additive()
+        while self.peek()[1] in ("<<", ">>", ">>>"):
+            op = self.next()[1]
+            left = ("bit", op, left, self.additive())
         return left
 
     def additive(self):
-        left = self.unary()
+        left = self.multiplicative()
         while self.peek()[1] in ("+", "-"):
             op = self.next()[1]
-            left = ("add" if op == "+" else "sub", left, self.unary())
+            left = ("add" if op == "+" else "sub", left,
+                    self.multiplicative())
+        return left
+
+    def multiplicative(self):
+        left = self.unary()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            left = ("mul", op, left, self.unary())
         return left
 
     def unary(self):
@@ -283,6 +397,14 @@ class _Parser:
                     self.next()
             self.expect("}")
             return ("obj", pairs)
+        if val == "[":
+            items = []
+            while self.peek()[1] != "]":
+                items.append(self.expression())
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("]")
+            return ("arr", items)
         if kind == "name":
             return ("name", val)
         raise JSSubsetError(f"unsupported primary {val!r}")
@@ -312,6 +434,38 @@ def _truthy(v: Any) -> bool:
 class _Return(Exception):
     def __init__(self, value):
         self.value = value
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+def _toint32(v) -> int:
+    i = int(v) & 0xFFFFFFFF
+    return i - 0x100000000 if i & 0x80000000 else i
+
+
+class _JSMath:
+    """The Math global (the members scanner.js helpers use)."""
+
+    floor = staticmethod(lambda x: float(int(x // 1)))
+    ceil = staticmethod(lambda x: float(-int((-x) // 1)))
+    # JS rounds half toward +Infinity: floor(x + 0.5)
+    round = staticmethod(lambda x: float((x + 0.5) // 1))
+    trunc = staticmethod(lambda x: float(int(x)))
+    abs = staticmethod(lambda x: abs(x))
+    sqrt = staticmethod(lambda x: x ** 0.5)
+    exp = staticmethod(lambda x: __import__("math").exp(x))
+    log = staticmethod(lambda x: __import__("math").log(x))
+    pow = staticmethod(lambda a, b: a ** b)
+    hypot = staticmethod(lambda a, b: (a * a + b * b) ** 0.5)
+    sign = staticmethod(lambda x: (x > 0) - (x < 0))
+    min = staticmethod(lambda *a: min(a))
+    max = staticmethod(lambda *a: max(a))
 
 
 class _Fn:
@@ -358,7 +512,89 @@ class JSEnv:
             for s in branch:
                 self._exec(s, scope)
             return
+        if op == "while":
+            while _truthy(self._eval(stmt[1], scope)):
+                try:
+                    for s in stmt[2]:
+                        self._exec(s, scope)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return
+        if op == "for":
+            _, init, cond, update, body = stmt
+            if init is not None:
+                self._exec(init, scope)
+            while cond is None or _truthy(self._eval(cond, scope)):
+                try:
+                    for s in body:
+                        self._exec(s, scope)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if update is not None:
+                    self._exec(update, scope)
+            return
+        if op == "break":
+            raise _Break()
+        if op == "continue":
+            raise _Continue()
+        if op == "exprstmt":
+            self._eval(stmt[1], scope)
+            return
+        if op == "assign":
+            _, target, aop, value_node = stmt
+            val = self._eval(value_node, scope)
+            if aop != "=":
+                cur = self._eval(target, scope)
+                if aop == "+=":
+                    val = (_js_string(cur) + _js_string(val)
+                           if isinstance(cur, str) or isinstance(val, str)
+                           else cur + val)
+                elif aop == "-=":
+                    val = cur - val
+                elif aop == "*=":
+                    val = cur * val
+                elif aop == "/=":
+                    val = cur / val
+                else:
+                    val = self._js_mod(cur, val)
+            if target[0] == "name":
+                if target[1] not in scope:
+                    raise JSSubsetError(
+                        f"assignment to undeclared {target[1]!r}")
+                scope[target[1]] = val
+            elif target[0] == "index":
+                base = self._eval(target[1], scope)
+                idx = self._eval(target[2], scope)
+                if isinstance(base, list):
+                    i = int(idx)
+                    if not 0 <= i < len(base):
+                        raise JSSubsetError(f"index {i} out of bounds "
+                                            f"(len {len(base)})")
+                    base[i] = val
+                elif isinstance(base, dict):
+                    base[idx] = val
+                else:
+                    raise JSSubsetError(
+                        f"cannot index-assign {type(base).__name__}")
+            else:  # member
+                base = self._eval(target[1], scope)
+                if not isinstance(base, dict):
+                    raise JSSubsetError(
+                        f"cannot set member on {type(base).__name__}")
+                base[target[2]] = val
+            return
         raise JSSubsetError(f"unsupported statement op {op!r}")
+
+    @staticmethod
+    def _js_mod(a, b):
+        """JS % keeps the dividend's sign (unlike Python)."""
+        import math
+
+        return math.fmod(a, b)
 
     def _eval(self, node, scope: dict):
         op = node[0]
@@ -374,6 +610,10 @@ class JSEnv:
             if node[1] == "Number":
                 return lambda v: float(v) if not isinstance(v, (int, float)) \
                     else v
+            if node[1] == "Math":
+                return _JSMath
+            if node[1] == "Infinity":
+                return float("inf")
             raise JSSubsetError(f"unbound name {node[1]!r}")
         if op == "ternary":
             return self._eval(node[2] if _truthy(self._eval(node[1], scope))
@@ -402,6 +642,34 @@ class JSEnv:
             return a + b
         if op == "sub":
             return self._eval(node[1], scope) - self._eval(node[2], scope)
+        if op == "mul":
+            a = self._eval(node[2], scope)
+            b = self._eval(node[3], scope)
+            if node[1] == "*":
+                return a * b
+            if node[1] == "/":
+                return (float("nan") if b == 0 and a == 0
+                        else float("inf") * (1 if a > 0 else -1) if b == 0
+                        else a / b)
+            return self._js_mod(a, b)
+        if op == "bit":
+            a = _toint32(self._eval(node[2], scope))
+            b = self._eval(node[3], scope)
+            o = node[1]
+            if o == "|":
+                return _toint32(a | _toint32(b))
+            if o == "&":
+                return _toint32(a & _toint32(b))
+            if o == "^":
+                return _toint32(a ^ _toint32(b))
+            sh = int(b) & 31
+            if o == "<<":
+                return _toint32(a << sh)
+            if o == ">>":
+                return a >> sh
+            return (a & 0xFFFFFFFF) >> sh      # >>>
+        if op == "arr":
+            return [self._eval(e, scope) for e in node[1]]
         if op == "not":
             return not _truthy(self._eval(node[1], scope))
         if op == "neg":
@@ -460,8 +728,31 @@ class JSEnv:
             raise JSSubsetError(f"unsupported string member {name!r}")
         if isinstance(base, dict):
             return base.get(name, UNDEFINED)
-        if isinstance(base, list) and name == "length":
-            return len(base)
+        if isinstance(base, list):
+            if name == "length":
+                return len(base)
+            if name == "push":
+                def _push(*vals):
+                    base.extend(vals)
+                    return len(base)
+                return _push
+            if name == "slice":
+                def _aslice(start=0, end=None):
+                    n = len(base)
+                    s = int(start)
+                    e = n if end is None or end is UNDEFINED else int(end)
+                    if s < 0:
+                        s = max(0, n + s)
+                    if e < 0:
+                        e = max(0, n + e)
+                    return base[s:e]
+                return _aslice
+            raise JSSubsetError(f"unsupported array member {name!r}")
+        if base is _JSMath:
+            fn = getattr(_JSMath, name, None)
+            if fn is None:
+                raise JSSubsetError(f"unsupported Math member {name!r}")
+            return fn
         raise JSSubsetError(
             f"unsupported member {name!r} on {type(base).__name__}")
 

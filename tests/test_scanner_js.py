@@ -193,8 +193,10 @@ def test_js_semantics_string_concat_coerces():
 def test_subset_refuses_unsupported_syntax():
     with pytest.raises(JSSubsetError):
         JSEnv("function f() { return `template`; }")
-    with pytest.raises(JSSubsetError):
-        JSEnv("function f() { for (;;) {} }")
+    with pytest.raises(JSSubsetError):        # arrow functions
+        JSEnv("function f(a) { return a.map(x => x); }")
+    with pytest.raises(JSSubsetError):        # async/await glue
+        JSEnv("function f() { const r = await fetch('/x'); }")
 
 
 def test_shipped_helpers_stay_in_subset():
