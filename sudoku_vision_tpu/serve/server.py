@@ -529,6 +529,8 @@ def make_handler(engine: InferenceEngine):
                 self._static("scanner.js", "application/javascript")
             elif self.path == "/sudoku.js":
                 self._static("sudoku.js", "application/javascript")
+            elif self.path == "/digit_weights.js":
+                self._static("digit_weights.js", "application/javascript")
             elif self.path == "/sudoku.wasm":
                 self._static("sudoku.wasm", "application/wasm")
             else:
