@@ -9,9 +9,14 @@ interpreter can EXECUTE the shipped source under test against this
 module's numpy oracle.
 
 Architecture: canonical no-CLAHE preproc (binary {-1,+1} 28x28, the
-same bits the flagship sees) -> 2x2 mean pool -> 196 -> relu(48) ->
-10 logits. Weights post-training-quantized to int8 with one scale per
-layer; biases stay float. ~10.3k parameters, ~70 kB as JS source.
+same bits the flagship sees) -> 784 -> relu(96) -> 10 logits (no
+pooling: thin binary strokes do not survive 2x2 mean pooling — the
+pooled variant lost ~8% digit accuracy on the offline holdout).
+Training applies per-sample +-2px shift augmentation to the binary
+input: the MLP has no convolutional invariance, so it must be taught
+the extraction's positional variance explicitly.
+Weights post-training-quantized to int8 with one scale per layer;
+biases stay float. ~51k parameters, ~160 kB as JS source.
 
 Outputs:
   serve/static/digit_weights.js — `function digitWeights()` returning
@@ -38,9 +43,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 
 
 def tiny_inputs(images_u8: np.ndarray, batch: int = 2048) -> np.ndarray:
-    """(N, 28, 28) u8 raw cells -> (N, 196) float32 in [-1, 1]: the
-    canonical no-CLAHE preproc + 2x2 mean pool the JS path applies
-    (scanner.js offPreprocCell + offClassifyCell input stage)."""
+    """(N, 28, 28) u8 raw cells -> (N, 784) float32 in {-1, +1}: the
+    canonical no-CLAHE preproc the JS path applies
+    (scanner.js offPreprocCell)."""
     import jax.numpy as jnp
 
     from sudoku_vision_tpu.cv.extract import preprocess_cells_for_model
@@ -50,9 +55,92 @@ def tiny_inputs(images_u8: np.ndarray, batch: int = 2048) -> np.ndarray:
         x = preprocess_cells_for_model(
             jnp.asarray(images_u8[i:i + batch]), use_clahe=False)
         x = np.asarray(x)[..., 0]                       # (B, 28, 28)
-        x = x.reshape(-1, 14, 2, 14, 2).mean(axis=(2, 4))
-        out.append(x.reshape(-1, 196).astype(np.float32))
+        out.append(x.reshape(-1, 784).astype(np.float32))
     return np.concatenate(out)
+
+
+# -------------------------------------------- JS-extraction replica
+
+
+def quad_map(q: np.ndarray) -> dict:
+    """Heckbert square->quad coefficients — EXACTLY scanner.js
+    offQuadMap (tests assert parity against the shipped source)."""
+    (x0, y0), (x1, y1), (x2, y2), (x3, y3) = [tuple(p) for p in q]
+    dx1, dy1 = x1 - x2, y1 - y2
+    dx2, dy2 = x3 - x2, y3 - y2
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dx2 * dy1
+    g = (sx * dy2 - dx2 * sy) / den
+    h = (dx1 * sy - sx * dy1) / den
+    return {"a": x1 - x0 + g * x1, "b": x3 - x0 + h * x3, "c": x0,
+            "d": y1 - y0 + g * y1, "e": y3 - y0 + h * y3, "f": y0,
+            "g": g, "h": h}
+
+
+def np_extract_cells(gray: np.ndarray, corners: np.ndarray) -> np.ndarray:
+    """Vectorized replica of scanner.js offExtractCells: 81 cells of
+    28x28 rounded-u8, fused warp+crop+resize on the 450/50/10%-margin
+    geometry, bilinear with replicate border."""
+    h, w = gray.shape
+    m = quad_map(np.asarray(corners, np.float64))
+    idx = np.arange(28)
+    span = 40.0 / 28.0
+    us = (np.arange(9)[:, None] * 50 + 5 + (idx[None, :] + 0.5) * span) \
+        / 450.0                                     # (9, 28)
+    u = np.broadcast_to(us[None, :, None, None, :],
+                        (9, 9, 1, 28, 28)).reshape(81, 28, 28)
+    v = np.broadcast_to(us[:, None, None, :, None],
+                        (9, 9, 1, 28, 28)).reshape(81, 28, 28)
+    den = m["g"] * u + m["h"] * v + 1.0
+    sx = (m["a"] * u + m["b"] * v + m["c"]) / den
+    sy = (m["d"] * u + m["e"] * v + m["f"]) / den
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    xc0 = np.clip(x0, 0, w - 1)
+    xc1 = np.clip(x0 + 1, 0, w - 1)
+    yc0 = np.clip(y0, 0, h - 1)
+    yc1 = np.clip(y0 + 1, 0, h - 1)
+    p00 = gray[yc0, xc0]
+    p01 = gray[yc0, xc1]
+    p10 = gray[yc1, xc0]
+    p11 = gray[yc1, xc1]
+    val = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+           + p10 * (1 - fx) * fy + p11 * fx * fy)
+    return np.floor(val + 0.5).astype(np.uint8)    # JS Math.round
+
+
+def harvest_offline_cells(n_scenes: int = 160, seed: int = 123):
+    """Training cells drawn from the OFFLINE path's own distribution:
+    rendered scenes at capture-like resolutions, extracted with the
+    JS-replica gather from truth corners (plus detection-scale jitter).
+    The TPU-pipeline scene cells (refined boundaries, higher res) are a
+    different distribution — training only on them left the offline
+    classifier ~25% off on its own cells."""
+    import random as pyrandom
+
+    from sudoku_vision_tpu.ml.generate_scenes import render_scene
+
+    rng = np.random.default_rng(seed)
+    sizes = [(448, 448), (512, 512), (512, 640), (640, 480), (768, 768)]
+    images, labels = [], []
+    for i in range(n_scenes):
+        r = pyrandom.Random(seed * 7919 + i)
+        size = sizes[i % len(sizes)]
+        cats = ("printed_clean", "printed_clean", "printed_skew",
+                "low_light")
+        img, truth = render_scene(r, size=size,
+                                  category=cats[i % len(cats)])
+        gray = img.astype(np.float64).mean(axis=2)
+        corners = (np.asarray(truth["corners"], np.float64)
+                   + rng.normal(0, 1.6, (4, 2)))
+        cells = np_extract_cells(gray, corners)
+        images.append(cells)
+        labels.append(np.array([int(c) for c in truth["puzzle"]],
+                               np.int32))
+    return np.concatenate(images), np.concatenate(labels)
 
 
 # ----------------------------------------------------------- inference
@@ -66,8 +154,8 @@ def forward_float(x: np.ndarray, w1, b1, w2, b2) -> np.ndarray:
 def forward_int8(x: np.ndarray, wts: dict) -> np.ndarray:
     """The numpy oracle for scanner.js offClassifyCell: int8 weights,
     per-layer scale, float biases — identical op order."""
-    w1 = np.asarray(wts["w1"], np.float64).reshape(196, 48)
-    w2 = np.asarray(wts["w2"], np.float64).reshape(48, 10)
+    w1 = np.asarray(wts["w1"], np.float64).reshape(784, 96)
+    w2 = np.asarray(wts["w2"], np.float64).reshape(96, 10)
     h = x.astype(np.float64) @ w1 * wts["s1"] + np.asarray(wts["b1"])
     h = np.maximum(h, 0.0)
     return h @ w2 * wts["s2"] + np.asarray(wts["b2"])
@@ -125,9 +213,10 @@ def load_weights_js(path: str) -> dict:
 
     with open(path) as f:
         src = f.read()
-    # keep only the pure function (strip the window glue)
+    # keep only the pure function (strip 'use strict' + window glue)
+    start = src.find("function ")
     cut = src.find("if (typeof window")
-    env = JSEnv(src[:cut])
+    env = JSEnv(src[start:cut])
     return env.call("digitWeights")
 
 
@@ -150,6 +239,12 @@ def train(epochs: int = 30, lr: float = 3e-3, batch: int = 512,
     real_dir = os.path.join(REPO, "data", "real")
     if os.path.isdir(os.path.join(real_dir, "train")):
         ds = combine(ds, load_class_dirs(real_dir, "train"), 5, 1)
+    # the offline path's own distribution, double-weighted (it is the
+    # deployment distribution for THIS model)
+    off_imgs, off_labels = harvest_offline_cells()
+    from sudoku_vision_tpu.ml.datasets import CellDataset
+
+    ds = combine(ds, CellDataset(off_imgs, off_labels, "offline"), 2, 1)
     x = tiny_inputs(ds.images)
     y = ds.labels.astype(np.int32)
 
@@ -171,9 +266,9 @@ def train(epochs: int = 30, lr: float = 3e-3, batch: int = 512,
     rng = np.random.default_rng(seed)
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     params = {
-        "w1": jax.random.normal(k1, (196, 48)) * 0.05,
-        "b1": jnp.zeros((48,)),
-        "w2": jax.random.normal(k2, (48, 10)) * 0.05,
+        "w1": jax.random.normal(k1, (784, 96)) * 0.03,
+        "b1": jnp.zeros((96,)),
+        "w2": jax.random.normal(k2, (96, 10)) * 0.05,
         "b2": jnp.zeros((10,)),
     }
     tx = optax.adam(lr)
@@ -200,7 +295,14 @@ def train(epochs: int = 30, lr: float = 3e-3, batch: int = 512,
         losses = []
         for i in range(0, n - batch + 1, batch):
             idx = perm[i:i + batch]
-            params, opt, loss = step(params, opt, jnp.asarray(x[idx]),
+            xb = x[idx].reshape(-1, 28, 28)
+            sh = rng.integers(-2, 3, (len(idx), 2))
+            xa = np.empty_like(xb)
+            for k in range(len(idx)):
+                xa[k] = np.roll(xb[k], (sh[k, 0], sh[k, 1]),
+                                axis=(0, 1))
+            params, opt, loss = step(params, opt,
+                                     jnp.asarray(xa.reshape(-1, 784)),
                                      jnp.asarray(y[idx]),
                                      jnp.asarray(soft[idx]))
             losses.append(float(loss))
@@ -234,6 +336,17 @@ def evaluate_sets(wts) -> dict:
             "digit_acc": round(float(
                 (pred[digit] == ds.labels[digit]).mean()), 4),
         }
+    # fresh-seed scenes through the JS-replica extraction: the offline
+    # path's own holdout distribution
+    imgs, labels = harvest_offline_cells(n_scenes=16, seed=999_331)
+    pred = forward_int8(tiny_inputs(imgs), wts).argmax(-1)
+    digit = labels > 0
+    report["offline_holdout"] = {
+        "n": int(len(labels)),
+        "acc": round(float((pred == labels).mean()), 4),
+        "digit_acc": round(float(
+            (pred[digit] == labels[digit]).mean()), 4),
+    }
     return report
 
 
@@ -254,8 +367,7 @@ def main(argv=None) -> int:
     report = evaluate_sets(wts)
     emit_weights_js(wts, args.out)
     meta = {
-        "arch": "196-48-10 int8 MLP (canonical no-CLAHE binary input, "
-                "2x2 pooled)",
+        "arch": "784-96-10 int8 MLP (canonical no-CLAHE binary input, +-2px shift augmentation)",
         "params": int(w1.size + b1.size + w2.size + b2.size),
         "train_n": int(len(ds)),
         "eval": report,

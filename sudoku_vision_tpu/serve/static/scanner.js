@@ -96,9 +96,11 @@ function offDownscale(gray, w, h, f) {
 
 // Largest 4-connected ink component -> corner quad via extreme points
 // (the cv/grid.py region-isolation + extreme-corner design, host-side).
-// "Ink" = a dark pixel inside a BRIGHT neighborhood: thin grid lines on
-// paper qualify; a dark table backdrop around the page does not (its
-// local mean is dark too). Local mean via integral image, 15x15 box.
+// "Ink" = a pixel locally darker than its BRIGHT neighborhood (px <
+// local mean - 8, like the pipeline's adaptive threshold — catches
+// grid lines diluted by the downscale); the neighborhood must be
+// paper-bright, so a dark table backdrop around the page is not ink.
+// Local mean via integral image, 15x15 box.
 // Returns [[x,y] tl, tr, br, bl] in FULL-RES coordinates, or null.
 function offCorners(gray, w, h) {
   let f = ((w < h ? w : h) / 160) | 0;
@@ -140,7 +142,7 @@ function offCorners(gray, w, h) {
       const loc = (integ[y1 * iw + x1] - integ[y0 * iw + x1] -
                    integ[y1 * iw + x0] + integ[y0 * iw + x0]) / area;
       const px = s.d[y * s.w + x];
-      ink.push(px < pm * 0.72 && loc > pm * 0.8 ? 1 : 0);
+      ink.push(px < loc - 8 && loc > pm * 0.8 ? 1 : 0);
     }
   }
   // BFS labeling, keep the largest component's pixels.
@@ -327,22 +329,17 @@ function offInkFraction(pre) {
   return ink / n;
 }
 
-// Tiny int8 MLP: 28x28 {-1,1} -> 2x2 mean pool -> 196 -> relu(48) ->
-// 10 logits -> {digit, conf}. Weights from /digit_weights.js
-// (ml/train_tiny.py: distilled from the flagship, int8 per-layer scale).
+// Tiny int8 MLP: 28x28 {-1,1} -> 784 -> relu(96) -> 10 logits ->
+// {digit, conf}. No pooling: thin binary strokes do not survive a 2x2
+// mean pool. Weights from /digit_weights.js (ml/train_tiny.py:
+// distilled from the flagship, int8 per-layer scale). Since the input
+// is +-1, the first matmul accumulates signed INTEGER weight sums —
+// exact in both JS doubles and the numpy oracle.
 function offClassifyCell(pre, wts) {
-  const x = [];
-  for (let y = 0; y < 14; y++) {
-    for (let c = 0; c < 14; c++) {
-      x.push((pre[(2 * y) * 28 + 2 * c] + pre[(2 * y) * 28 + 2 * c + 1] +
-              pre[(2 * y + 1) * 28 + 2 * c] +
-              pre[(2 * y + 1) * 28 + 2 * c + 1]) / 4);
-    }
-  }
   const h1 = [];
-  for (let j = 0; j < 48; j++) {
+  for (let j = 0; j < 96; j++) {
     let s = 0;
-    for (let i = 0; i < 196; i++) s += x[i] * wts.w1[i * 48 + j];
+    for (let i = 0; i < 784; i++) s += pre[i] * wts.w1[i * 96 + j];
     s = s * wts.s1 + wts.b1[j];
     h1.push(s > 0 ? s : 0);
   }
@@ -352,7 +349,7 @@ function offClassifyCell(pre, wts) {
   const logits = [];
   for (let k = 0; k < 10; k++) {
     let s = 0;
-    for (let j = 0; j < 48; j++) s += h1[j] * wts.w2[j * 10 + k];
+    for (let j = 0; j < 96; j++) s += h1[j] * wts.w2[j * 10 + k];
     s = s * wts.s2 + wts.b2[k];
     logits.push(s);
     if (s > bestV) { bestV = s; bestD = k; }

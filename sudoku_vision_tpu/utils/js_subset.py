@@ -60,7 +60,7 @@ class _Undefined:
 UNDEFINED = _Undefined()
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+|//[^\n]*)
+    (?P<ws>\s+|//[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<num>\d+\.\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<tpl>`(?:[^`\\$]|\\.)*`)

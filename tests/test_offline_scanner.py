@@ -86,12 +86,25 @@ def test_classifier_matches_numpy_oracle(js, weights):
     for _ in range(4):
         pre = rng.choice([-1.0, 1.0], size=784)
         got = js.call("offClassifyCell", pre.tolist(), weights)
-        x = pre.reshape(28, 28).reshape(14, 2, 14, 2).mean(
-            axis=(1, 3)).reshape(1, 196)
-        logits = forward_int8(x, weights)[0]
+        logits = forward_int8(pre.reshape(1, 784), weights)[0]
         assert int(got["digit"]) == int(logits.argmax())
         e = np.exp(logits - logits.max())
         assert abs(got["conf"] - e.max() / e.sum()) < 1e-9
+
+
+def test_extraction_replica_parity(js):
+    """ml/train_tiny.py::np_extract_cells (the training-data generator)
+    must be BIT-EXACT with the shipped offExtractCells — otherwise the
+    offline classifier trains on a drifted distribution."""
+    from sudoku_vision_tpu.ml.train_tiny import np_extract_cells
+
+    gray, truth = _scene(seed=25, size=(320, 320))
+    corners = np.asarray(truth["corners"], np.float64)
+    want = np_extract_cells(gray, corners)
+    got = js.call("offExtractCells", gray.reshape(-1).tolist(),
+                  gray.shape[1], gray.shape[0], corners.tolist())
+    got = np.asarray(got, np.int64).reshape(81, 28, 28)
+    assert np.array_equal(got, want.astype(np.int64))
 
 
 def test_corner_detection_on_scene(js):
