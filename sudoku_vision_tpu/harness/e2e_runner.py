@@ -154,6 +154,9 @@ def print_summary(results: list[dict], metrics: PerformanceMetrics):
 
 
 def main(argv=None) -> int:
+    from sudoku_vision_tpu.utils import jax_cache
+
+    jax_cache.enable()
     p = argparse.ArgumentParser(description="e2e ground-truth harness")
     p.add_argument("--ground-truth", default="data/test_e2e/ground_truth.json")
     p.add_argument("--save-failures")

@@ -115,6 +115,9 @@ def summarize(records: list[dict]) -> dict:
 
 
 def main(argv=None) -> int:
+    from sudoku_vision_tpu.utils import jax_cache
+
+    jax_cache.enable()
     p = argparse.ArgumentParser(description="fresh-seed scene sweep")
     p.add_argument("--n", type=int, default=130)
     p.add_argument("--seed-base", type=int, default=7000)

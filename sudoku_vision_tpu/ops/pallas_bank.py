@@ -27,15 +27,38 @@ boundary is handled by masking against the TRUE width, so pad lanes
 always carry the identity and never leak ink. Asserted equal on CPU
 interpret in tests/test_pallas_bank.py.
 
-STATUS (2026-08-19): NOT yet raced on the real TPU. Compiling this
-kernel (and, on re-test, ANY fresh Pallas kernel, down to an 8x131
-f32 add) via the remote Mosaic compile service hung >40 min, so the
-kernel stays strictly OPT-IN (SV_PALLAS_BANK=1) and unwired until a
-session where fresh Mosaic compiles succeed; the race harness is
-preserved below (`race_main`). Perf math for the decision record:
-the whole bank is 0.075 ms/frame of a 0.654 ms/frame budget (batch
-32), so even a free bank caps at ~11.5% — the >=15% target requires
-fusing the wider packed-domain detect pipeline around it.
+STATUS (2026-08-20, supersedes 2026-08-19): the FULL-BANK kernel is
+Mosaic-compile-pathological and is closed as a negative result. On a
+session where fresh Mosaic compiles demonstrably work (the pool
+kernel compiled fresh in minutes, an XLA build of this same bank
+graph compiled in 2.6 s), compiling THIS kernel's ~760-op unrolled
+body hung the remote compile service >30 min on two separate
+attempts (and >40 min in the round-3 session) — compile time scales
+superlinearly in body size somewhere past a few dozen vector ops.
+Do not re-attempt the monolithic body.
+
+What DOES work: the same VMEM-residency idea split per angle —
+`line_bank_packed_pallas_split` below issues one pallas_call per
+(angle) with the ~40-op single-angle body (measured compile: 148 s
+first, ~12 s per subsequent kernel, all persistent-cached) and lets
+XLA fuse the 19-way OR-combine. Parity and the TPU race live in
+`race_main` (python -m sudoku_vision_tpu.ops.pallas_bank).
+
+RACE RESULT (2026-08-21, real v5e, golden-frame packed binary
+(1, 912, 684) = 32 frames, scalar-reduced fetch-timed, 3 windows):
+XLA 0.146/0.101/0.108 ms/frame vs split-Pallas 0.215/0.106/0.105 —
+a WASH within the tunnel's noise band. The round-2 hypothesis
+("XLA materializes most intermediate maps in HBM") is refuted at
+this size: the whole packed working set is ~2.5 MB, XLA's fusion
+keeps the chain pipelined, and the split kernel's 19 HBM
+read/write round-trips cost exactly what XLA's materializations
+do. The bank stays on the XLA formulation (zero Mosaic compile
+risk); this module is kept as the executed negative-result record
+and stays strictly OPT-IN (SV_PALLAS_BANK=1, unwired). Verdict for
+future sessions: detection fusion has no Pallas win left at this
+working-set size — only a whole-pipeline (thresh->pack->bank->
+gates->region) megakernel could change the traffic equation, and
+that body size is exactly what the Mosaic service cannot compile.
 
 Mosaic v5e notes (inherited from the round-2 kernels): rolls are the
 supported lane/sublane rotate and are 32-bit only (uint32 is native
@@ -175,6 +198,33 @@ def line_bank_packed_pallas(
     return lat_h[:, :h, :w], lat_v[:, :h, :w]
 
 
+def line_bank_packed_pallas_split(
+    packed: jnp.ndarray,
+    length: int,
+    angles_deg: Sequence[int],
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-angle pallas_calls, OR-combined in XLA.
+
+    Same math as line_bank_packed_pallas (thicken + van-Herk open per
+    angle, both families), but each angle gets its OWN ~20-op kernel
+    body: the monolithic 760-op body never returns from the Mosaic
+    compile service (see STATUS), while single-angle bodies compile in
+    seconds and cache. The angle union is a pure OR, so splitting is
+    exact by construction; XLA fuses the 19-input OR chains into one
+    elementwise pass per family. The 3-wide thicken is recomputed
+    inside every kernel — 4 extra VMEM ops per angle, free next to a
+    second HBM pass to stage a thickened copy.
+    """
+    acc_h = acc_v = None
+    for a in angles_deg:
+        lh, lv = line_bank_packed_pallas(
+            packed, length, (a,), interpret=interpret)
+        acc_h = lh if acc_h is None else acc_h | lh
+        acc_v = lv if acc_v is None else acc_v | lv
+    return acc_h, acc_v
+
+
 def bank_enabled() -> bool:
     """Strictly opt-in (SV_PALLAS_BANK=1) until raced on real TPU —
     see STATUS in the module docstring."""
@@ -191,6 +241,10 @@ def race_main(batch: int = 32, n: int = 30) -> None:
     import time
 
     import numpy as np
+
+    from sudoku_vision_tpu.utils import jax_cache
+
+    jax_cache.enable()
 
     from sudoku_vision_tpu.cv import grid as G
     from sudoku_vision_tpu.ops.filters import gaussian_blur_u8
@@ -231,30 +285,63 @@ def race_main(batch: int = 32, n: int = 30) -> None:
             lv = lv | G._directional_open_packed(tv, s, 31, vertical=True)
         return lh, lv
 
-    pallas_fn = jax.jit(lambda p: line_bank_packed_pallas(p, 31, angles))
+    if os.environ.get("SV_RACE_FULL") == "1":
+        # The monolithic body hangs the Mosaic compile service (see
+        # STATUS) — only attempt it on explicit request.
+        pallas_bank_fn = lambda p: line_bank_packed_pallas(p, 31, angles)
+    else:
+        pallas_bank_fn = lambda p: line_bank_packed_pallas_split(
+            p, 31, angles)
+    pallas_fn = jax.jit(pallas_bank_fn)
     want = tuple(np.asarray(r) for r in xla_bank(packed))
+    t0 = time.perf_counter()
     got = tuple(np.asarray(r) for r in pallas_fn(packed))
+    print(f"pallas bank compiled+ran in {time.perf_counter()-t0:.1f}s",
+          flush=True)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
     print("BIT-IDENTICAL on this backend", flush=True)
 
+    # Timing: reduce to ONE scalar on device — fetching the 2x2.5 MB
+    # lattices through the axon tunnel costs ~80 ms/iter and buries any
+    # compute difference (first version of this harness did exactly
+    # that).
+    @jax.jit
+    def xla_sum(p):
+        lh, lv = xla_bank(p)  # nested jit inlines
+        return jnp.sum(lh ^ lv)
+
+    @jax.jit
+    def pallas_sum(p):
+        lh, lv = pallas_bank_fn(p)
+        return jnp.sum(lh ^ lv)
+
     def race(fn, label):
-        inflight = [fn(packed) for _ in range(3)]
+        # copy_to_host_async on EVERY result: a bare np.asarray issues a
+        # synchronous fetch RPC (~25 ms tunnel round trip per iteration,
+        # which swamps the ~2.4 ms compute).
+        inflight = []
+        for _ in range(8):
+            r = fn(packed)
+            r.copy_to_host_async()
+            inflight.append(r)
         total = n
         t0 = time.perf_counter()
         for _ in range(n):
-            inflight.append(fn(packed))
-            np.asarray(inflight.pop(0)[0])
+            r = fn(packed)
+            r.copy_to_host_async()
+            inflight.append(r)
+            np.asarray(inflight.pop(0))
         for r in inflight:
-            np.asarray(r[0])
+            np.asarray(r)
             total += 1
         dt = (time.perf_counter() - t0) / total
         print(f"{label:8s} {dt*1e3:7.3f} ms/batch "
               f"{dt/batch*1e3:7.4f} ms/frame", flush=True)
 
-    for _ in range(2):
-        race(xla_bank, "xla")
-        race(pallas_fn, "pallas")
+    for _ in range(3):
+        race(xla_sum, "xla")
+        race(pallas_sum, "pallas")
 
 
 if __name__ == "__main__":

@@ -138,11 +138,20 @@ def pack_bgr(img) -> np.ndarray:
 
 
 def pooled_gray_packed(x2: jnp.ndarray, f: int,
-                       interpret: bool | None = None) -> jnp.ndarray:
+                       interpret: bool | None = None,
+                       block_rows: int | None = None) -> jnp.ndarray:
     """Row-packed BGR (H, W*3) uint8 -> (H//f, W//f) uint8 pooled gray.
 
     Pallas on TPU for f in {2, 4} with f-divisible H/W; XLA fallback
     (via the 3D pooled_gray) elsewhere — both integer-exact, identical.
+
+    block_rows: grid-block height (default _BLOCK_ROWS). Any multiple
+    of f is exact — each output row depends only on its own f source
+    rows, so partial trailing blocks can't leak across the boundary.
+    Raced on TPU at the 10-MP batch-32 shape: 128 / 256 / 512 within
+    noise of each other (grid-step overhead is already hidden by the
+    double-buffered DMA pipeline); kept at 128 for the smaller VMEM
+    footprint.
     """
     from sudoku_vision_tpu.ops.color import pooled_gray
     from sudoku_vision_tpu.ops.pallas_lattice import on_tpu
@@ -157,7 +166,7 @@ def pooled_gray_packed(x2: jnp.ndarray, f: int,
     if not use_pallas:
         return pooled_gray(x2.reshape(h, w, 3), f)
 
-    br = _BLOCK_ROWS
+    br = block_rows or _BLOCK_ROWS
     out = pl.pallas_call(
         partial(_kernel, f=f),
         out_shape=jax.ShapeDtypeStruct((h // f, w3), jnp.uint8),

@@ -583,6 +583,9 @@ def make_handler(engine: InferenceEngine):
 
 
 def main(argv=None) -> int:
+    from sudoku_vision_tpu.utils import jax_cache
+
+    jax_cache.enable()
     p = argparse.ArgumentParser(description="TPU sudoku-vision server")
     p.add_argument("--port", type=int, default=8602)
     p.add_argument("--host", default="127.0.0.1")

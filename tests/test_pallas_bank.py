@@ -2,13 +2,14 @@
 against the production XLA formulation (cv/grid.py's packed bank).
 
 Runs the Pallas kernel in interpret mode on CPU (conftest forces the
-CPU platform); the real-TPU compiled path is NOT yet verified — the
-remote Mosaic compile service hung on every fresh kernel the day this
-landed (see the STATUS note in ops/pallas_bank.py); re-race with
-`python -m sudoku_vision_tpu.ops.pallas_bank`. Inputs are structured
-masks (lines
-at several angles) AND adversarial random ink, at a non-128-multiple
-width so the lane-pad masking is exercised.
+CPU platform). The real-TPU outcome (2026-08-21): the monolithic
+kernel never returns from the Mosaic compile service, but the
+per-angle split variant compiles, is BIT-IDENTICAL to the XLA bank on
+the real chip, and races it to a wash — so the production path stays
+XLA and this module is the executed negative-result record (see
+STATUS in ops/pallas_bank.py). Inputs here are structured masks
+(lines at several angles) AND adversarial random ink, at a
+non-128-multiple width so the lane-pad masking is exercised.
 """
 
 import numpy as np
@@ -21,6 +22,7 @@ from sudoku_vision_tpu.cv.grid import (
 )
 from sudoku_vision_tpu.ops.pallas_bank import (
     _offsets, _shift_plan, line_bank_packed_pallas,
+    line_bank_packed_pallas_split,
 )
 
 ANGLES = tuple(range(-45, 46, 15))  # coarse bank: keeps interpret fast
@@ -72,6 +74,21 @@ def test_bank_bit_parity(hw):
     packed = _pack_bits(jnp.asarray(frames, jnp.uint32))
     want_h, want_v = xla_bank(packed, LENGTH, ANGLES)
     got_h, got_v = line_bank_packed_pallas(
+        packed, LENGTH, ANGLES, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_split_bank_bit_parity():
+    """The per-angle split (the variant that actually compiles on TPU —
+    see STATUS in ops/pallas_bank.py) is exactly the monolithic bank:
+    splitting a union of per-angle openings over pallas_calls is a pure
+    OR re-association."""
+    h, w = 96, 200
+    frames = np.stack([scene_mask(h, w, s) for s in range(3)])
+    packed = _pack_bits(jnp.asarray(frames, jnp.uint32))
+    want_h, want_v = xla_bank(packed, LENGTH, ANGLES)
+    got_h, got_v = line_bank_packed_pallas_split(
         packed, LENGTH, ANGLES, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_h), np.asarray(want_h))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
