@@ -323,3 +323,18 @@ def test_offline_scan_no_grid_message():
     h, env = make_app(server_up=False)
     h.upload(np.full((64, 64), 210.0))   # blank frame: no grid
     assert h.status_text() == "offline scan: no grid found"
+
+
+def test_html_provides_every_id_the_glue_queries():
+    """The html/glue seam: every getElementById in the shipped JS must
+    exist in the shipped page, and the mock browser must model each of
+    them (otherwise these tests exercise elements the real page lacks)."""
+    import re
+
+    with open(SCANNER) as f:
+        wanted = set(re.findall(r"getElementById\('([^']+)'\)", f.read()))
+    with open(os.path.join(STATIC, "scanner.html")) as f:
+        have = set(re.findall(r'id="([^"]+)"', f.read()))
+    assert wanted <= have, wanted - have
+    h = BrowserHarness(STATIC)
+    assert wanted <= set(h.elements), wanted - set(h.elements)
