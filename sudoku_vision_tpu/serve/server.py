@@ -382,7 +382,8 @@ class ScanSession:
         canvas, scale, (off_x, off_y) = letterbox(img_bgr,
                                                   self.engine.canonical)
 
-        out: dict = {"frame": self.n_frames, "solved_now": False}
+        out: dict = {"frame": self.n_frames, "solved_now": False,
+                     "required_stable": self.required_stable}
 
         # Motion gate BEFORE any device perception work (reference
         # MotionDetector pauses processing; CameraManager frame-skip).

@@ -60,6 +60,19 @@ function solveRoute(serverReachable, wasmState) {
   return 'wasm';
 }
 
+// Hint line for the live streaming loop, from the server session's
+// state machine (serve/server.py ScanSession: motion / searching /
+// stabilizing / solved). Pure so the js_subset tests pin the exact
+// strings the live overlay shows.
+function hintForSession(state, run, required) {
+  if (state === 'solved') return 'solved — hold to keep scanning';
+  if (state === 'stabilizing') {
+    return 'locking… (' + run + '/' + required + ')';
+  }
+  if (state === 'motion') return 'hold still…';
+  return 'point at a sudoku grid';
+}
+
 // ---------- offline perception (pure helpers) ----------
 //
 // Capability parity with the reference's fully client-side pipeline
@@ -563,6 +576,20 @@ function initApp() {
     };
   }
 
+  function showScan(data, ms) {
+    const m = gridFromScan(data);
+    state.rec = m.rec; state.sol = m.sol; state.conf = m.conf;
+    state.alts = m.alts; state.edited = new Set(); state.editing = -1;
+    statusEl.textContent = m.status +
+        (data.time_graph_ms !== undefined
+             ? ` · graph ${data.time_graph_ms} ms` : '') +
+        ` · round-trip ${ms} ms` +
+        (data.n_coalesced > 1 ? ` · batch of ${data.n_coalesced}` : '');
+    hintEl.textContent =
+        'tap any cell to correct it (red = low confidence)';
+    render();
+  }
+
   async function send(blob) {
     statusEl.textContent = 'scanning on TPU…';
     const t0 = performance.now();
@@ -580,15 +607,7 @@ function initApp() {
     }
     const ms = (performance.now() - t0).toFixed(0);
     if (!data.grid_found) { statusEl.textContent = 'no grid found'; return; }
-    const m = gridFromScan(data);
-    state.rec = m.rec; state.sol = m.sol; state.conf = m.conf;
-    state.alts = m.alts; state.edited = new Set(); state.editing = -1;
-    statusEl.textContent =
-        `${m.status} · graph ${data.time_graph_ms} ms · round-trip ${ms} ms` +
-        (data.n_coalesced > 1 ? ` · batch of ${data.n_coalesced}` : '');
-    hintEl.textContent =
-        'tap any cell to correct it (red = low confidence)';
-    render();
+    showScan(data, ms);
   }
 
   // ----- live detection overlay -----
@@ -611,6 +630,13 @@ function initApp() {
     ctx.stroke();
   }
 
+  // Streaming live loop: one server-side session carries the Kalman
+  // corner stabilizer, the motion gate, and the 3-identical-grids
+  // counter (serve/server.py ScanSession — the TPU inversion of ios
+  // ScanPipeline.swift:245, which keeps this state on the phone). The
+  // solve fires exactly once per stable segment and renders WITHOUT
+  // pressing capture.
+  const sid = 'live-' + ((performance.now() * 997) | 0);
   async function liveDetectTick() {
     if (!video.videoWidth) return;
     const c = document.getElementById('frame');
@@ -621,11 +647,13 @@ function initApp() {
     const blob = await new Promise(
         r => c.toBlob(r, 'image/jpeg', 0.7));
     try {
-      const res = await fetch('/scan', {method: 'POST', body: blob});
+      const res = await fetch('/scan?session=' + sid,
+                              {method: 'POST', body: blob});
       const data = await res.json();
       drawCorners(data.grid_found ? data.corners : null, c.width, c.height);
-      hintEl.textContent = data.grid_found
-          ? 'grid locked — press capture' : 'point at a sudoku grid';
+      hintEl.textContent = hintForSession(
+          data.state, data.stable_run, data.required_stable);
+      if (data.solved_now) showScan(data, data.time_total_ms);
     } catch (e) { /* server busy; next tick retries */ }
   }
 
@@ -651,8 +679,9 @@ function initApp() {
 
 if (typeof window !== 'undefined') {
   window.SV = {applyEdit, classForCell, gridFromScan, statusFromRc,
-               solveRoute, solveLocal, offScan, offCorners,
-               offExtractCells, offPreprocCell, offClassifyCell};
+               solveRoute, hintForSession, solveLocal, offScan,
+               offCorners, offExtractCells, offPreprocCell,
+               offClassifyCell};
   if (typeof document !== 'undefined' && document.getElementById) {
     document.addEventListener('DOMContentLoaded', initApp);
     if (document.readyState !== 'loading') initApp();

@@ -259,30 +259,69 @@ def test_commit_edit_falls_back_to_real_wasm_when_server_dies():
     assert any(u == "/sudoku.wasm" for u, _ in h.fetch_log)
 
 
-def test_live_overlay_and_capture():
+def session_frame(state, run=0, solved_now=False, found=True):
+    d = {"frame": 1, "state": state, "grid_found": found,
+         "corners": [[10.0, 10.0], [100.0, 10.0], [100.0, 100.0],
+                     [10.0, 100.0]],
+         "corners_stable": run >= 3, "stable_run": run,
+         "required_stable": 3, "solved_now": solved_now,
+         "time_total_ms": 2.4}
+    if solved_now:
+        d.update({"recognized_grid": PUZZLE, "solution": SOLUTION,
+                  "status": "solved", "confidence": [0.99] * 81})
+    return d
+
+
+def test_live_session_stream_and_capture():
+    """The live loop is a SERVER SESSION stream: one ?session=<id> per
+    page, hint follows the session state machine, and the solve renders
+    automatically at the stability gate without pressing capture."""
     h, env = make_app()
-    h.routes["/scan"] = scan_response()
     video = h.el("video")
     video["videoWidth"], video["videoHeight"] = 640, 480
     h.camera_pixels = np.full((480, 640), 190.0)
+    # scripted session: searching -> stabilizing 1,2 -> solved (fires once)
+    frames = [session_frame("searching", found=False),
+              session_frame("stabilizing", run=1),
+              session_frame("stabilizing", run=2),
+              session_frame("solved", run=3, solved_now=True),
+              session_frame("solved", run=4)]
+    h.routes["/scan"] = lambda body: frames.pop(0)
     h.el("start")["onclick"]()
     assert video["srcObject"] is not None
     assert len(h.timers) == 1
-    assert h.fire_timers() == 1          # one liveDetectTick
-    ops = [n for n, _ in h.el("overlay")["_ctx"]["_ops"]]
-    assert ops.count("moveTo") == 1 and ops.count("lineTo") == 3
-    assert "stroke" in ops
-    assert h.el("hint")["textContent"] == "grid locked — press capture"
-    # capture button runs the full send() path on the camera frame
-    h.el("capture")["onclick"]()
-    assert h.status_text().startswith("solved · graph")
-    # live tick with no grid clears the overlay and flips the hint
-    h.el("overlay")["_ctx"]["_ops"].clear()
-    h.routes["/scan"] = {"grid_found": False}
+
     h.fire_timers()
+    assert h.el("hint")["textContent"] == "point at a sudoku grid"
     ops = [n for n, _ in h.el("overlay")["_ctx"]["_ops"]]
     assert "clearRect" in ops and "stroke" not in ops
-    assert h.el("hint")["textContent"] == "point at a sudoku grid"
+
+    h.fire_timers()
+    assert h.el("hint")["textContent"] == "locking… (1/3)"
+    ops = [n for n, _ in h.el("overlay")["_ctx"]["_ops"]]
+    assert ops.count("moveTo") == 1 and ops.count("lineTo") == 3
+    h.fire_timers()
+    assert h.el("hint")["textContent"] == "locking… (2/3)"
+    assert h.status_text() == ""         # nothing rendered yet
+
+    h.fire_timers()                      # gate frame: auto-solve renders
+    assert h.status_text() == "solved · round-trip 2.4 ms"
+    rendered = "".join(h.cell(i)["textContent"] or "0" for i in range(81))
+    assert rendered == SOLUTION
+    assert h.el("hint")["textContent"].startswith("tap any cell")
+
+    h.fire_timers()                      # stable segment continues: no re-render
+    assert h.el("hint")["textContent"] == "solved — hold to keep scanning"
+
+    # every live tick reused the SAME session id
+    sids = {u.split("session=")[1] for u, _ in h.fetch_log
+            if "session=" in u}
+    assert len(sids) == 1
+
+    # capture button still runs the stateless /scan path
+    h.routes["/scan"] = scan_response()
+    h.el("capture")["onclick"]()
+    assert h.status_text().startswith("solved · graph")
 
 
 def _scene_gray(seed, size=(256, 256)):

@@ -155,6 +155,18 @@ def test_wasm_rc_roundtrip_through_native_solver(js):
 # solveRoute — the server/WASM/fail fallback decision
 # ---------------------------------------------------------------------------
 
+def test_hint_for_session(js):
+    """The live-loop hint strings for every server session state
+    (serve/server.py ScanSession: motion/searching/stabilizing/solved)."""
+    assert js.call("hintForSession", "searching", 0, 3) == \
+        "point at a sudoku grid"
+    assert js.call("hintForSession", "motion", 0, 3) == "hold still…"
+    assert js.call("hintForSession", "stabilizing", 2, 3) == \
+        "locking… (2/3)"
+    assert js.call("hintForSession", "solved", 3, 3) == \
+        "solved — hold to keep scanning"
+
+
 def test_solve_route(js):
     assert js.call("solveRoute", True, None) == "server"
     assert js.call("solveRoute", True, False) == "server"

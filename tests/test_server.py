@@ -195,6 +195,9 @@ def test_session_fires_one_solve_at_gate_frame(server):
 
     solves = [r["solved_now"] for r in results]
     assert sum(solves) == 1, solves
+    # every session frame advertises the gate depth (the live client
+    # renders "locking… (run/required)" from these two fields)
+    assert all(r["required_stable"] == 3 for r in results)
     gate_idx = solves.index(True)
     # the gate cannot fire before 3 identical consecutive recognized
     # grids exist (frame index >= 2)
