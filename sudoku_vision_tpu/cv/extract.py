@@ -138,22 +138,37 @@ def cells_empty_mask(
     ink_thresh: float = 0.02,
     border_frac: float = 0.15,
     min_ink_depth: float = 45.0,
+    depth_floor: float = 25.0,
 ) -> jnp.ndarray:
     """Ink-ratio empty-cell detection (reference cv/extract.py:59 rule:
     <2% ink pixels -> empty).
 
     cells: (81, S, S) uint8. The reference Otsu-binarizes the interior; an
     Otsu split misfires on faint show-through ghosts (thin paper), so ink
-    is defined contrast-relatively instead: pixels at least
-    `min_ink_depth` darker than the cell's median. Real print is dark;
-    ghosts and paper grain are not.
+    is defined contrast-relatively: pixels sufficiently darker than the
+    cell's median. Real print is dark; ghosts and paper grain are not.
+
+    The depth cut is ADAPTIVE per cell, clip(0.5 * (median - dark2pct),
+    depth_floor, min_ink_depth) where dark2pct is the cell's 2nd-
+    percentile intensity (its robust darkest level): a fixed 45-level
+    cut silently ERASED a printed digit in a low-light scene whose
+    whole stroke contrast was compressed below 45 (sweep 90210
+    s077_low_light — the weakened puzzle then solved to a WRONG grid
+    at "confidence 1.0"). Scaling to half the cell's own contrast
+    keeps the cut above ghosts and grain (which compress along with
+    the light) while always admitting real strokes; the floor keeps
+    pure-grain empty cells from self-qualifying, and the cap restores
+    the calibrated 45 exactly for normal lighting.
     """
     n, s, _ = cells.shape
     b = int(s * border_frac)
-    inner = cells[:, b:s - b, b:s - b]
-    med = jnp.median(inner.astype(jnp.float32).reshape(n, -1), axis=1)
-    ink = inner.astype(jnp.float32) < (med - min_ink_depth)[:, None, None]
-    ink_ratio = ink.mean(axis=(1, 2), dtype=jnp.float32)
+    inner = cells[:, b:s - b, b:s - b].astype(jnp.float32).reshape(n, -1)
+    med = jnp.median(inner, axis=1)
+    k = max(1, round(0.02 * inner.shape[1]))
+    dark = jnp.sort(inner, axis=1)[:, k]
+    depth = jnp.clip(0.5 * (med - dark), depth_floor, min_ink_depth)
+    ink = inner < (med - depth)[:, None]
+    ink_ratio = ink.mean(axis=1, dtype=jnp.float32)
     return ink_ratio < ink_thresh
 
 

@@ -36,7 +36,8 @@ import numpy as np
 from sudoku_vision_tpu.harness.e2e_runner import compare_grids, parse81
 from sudoku_vision_tpu.ml.generate_scenes import CATEGORIES, render_scene
 
-HONEST = ("detection_failed", "quality_failed", "invalid", "unsolvable")
+HONEST = ("detection_failed", "quality_failed", "invalid", "unsolvable",
+          "ambiguous")
 
 
 def sweep_case(i: int, seed_base: int, size, categories,

@@ -79,7 +79,12 @@ class PipelineConfig:
 @dataclass
 class PipelineResult:
     success: bool
-    status: str   # solved/unsolvable/invalid/quality_failed/detection_failed
+    # solved/unsolvable/invalid/quality_failed/detection_failed, plus
+    # "ambiguous" beyond the reference enum: the grid solves but has
+    # MULTIPLE solutions even after given-restoration (see the
+    # uniqueness gate in run_pipeline) — solved_grid holds one member
+    # of the solution set, success stays False.
+    status: str
     recognized_grid: np.ndarray
     corrected_grid: np.ndarray | None
     solved_grid: np.ndarray | None
@@ -297,8 +302,29 @@ def run_pipeline(
         if sres.solved:
             status = "solved"
             solved = sres.grid
-        else:
-            status = sres.status_name  # unsolvable / invalid
+            # Uniqueness gate: a proper sudoku has ONE solution, so a
+            # solvable recognized grid with several is a fingerprint of
+            # an erased given (digit swallowed upstream) — the solver
+            # would silently return an arbitrary member of the solution
+            # set. Restore the most confident CNN digit readings among
+            # empty-reported cells until unique; if ambiguity survives,
+            # say so instead of presenting a coin-flip as the answer.
+            if native_solver.count_solutions(work, 2) > 1:
+                from sudoku_vision_tpu.reasoning import \
+                    restore_erased_givens
+
+                rest = restore_erased_givens(
+                    work, probs, limit=config.max_corrections)
+                if rest.corrections:
+                    r2 = native_solver.solve(
+                        rest.grid, timeout_s=config.solver_timeout_s)
+                    if r2.solved:
+                        work = rest.grid
+                        corrections = corrections + rest.corrections
+                        base["corrected_grid"] = work.copy()
+                        solved = r2.grid
+                if not rest.success:
+                    status = "ambiguous"
     t6 = time.perf_counter()
 
     base["solved_grid"] = solved

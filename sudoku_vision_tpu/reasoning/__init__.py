@@ -13,7 +13,8 @@ from sudoku_vision_tpu.reasoning.validator import (
     get_possible_values,
 )
 from sudoku_vision_tpu.reasoning.conflict_resolver import (
-    ResolutionResult, resolve_conflicts, resolve_unsolvable, resolve_with_solver,
+    ResolutionResult, resolve_conflicts, resolve_unsolvable,
+    resolve_with_solver, restore_erased_givens,
 )
 from sudoku_vision_tpu.reasoning.constraint_resolver import (
     PropagationResult, resolve_with_constraints,
@@ -24,5 +25,5 @@ __all__ = [
     "get_conflict_graph", "rank_cells_by_conflict_involvement",
     "get_possible_values", "ResolutionResult", "resolve_conflicts",
     "PropagationResult", "resolve_with_constraints",
-    "resolve_with_solver", "resolve_unsolvable",
+    "resolve_with_solver", "resolve_unsolvable", "restore_erased_givens",
 ]

@@ -271,3 +271,60 @@ def resolve_with_solver(
                    for (r, c) in suspects
                    if int(best_assign[r, c]) != int(grid[r, c])]
     return ResolutionResult(True, best_assign, corrections, 0, explored)
+
+
+def restore_erased_givens(
+    grid: np.ndarray,
+    probs: np.ndarray,
+    limit: int = 3,
+    min_p: float = 0.5,
+) -> ResolutionResult:
+    """Uniqueness repair for ERASED givens (runs after a successful solve).
+
+    A proper sudoku has exactly one solution; when the recognized grid
+    SOLVES but ``count_solutions > 1``, a given was almost certainly
+    lost upstream — e.g. a low-contrast digit claimed by the empty mask
+    (sweep 90210 ``s077_low_light`` silently returned one of a
+    2-solution puzzle's answers at "confidence 1.0"). The CNN's
+    distribution still carries the erased digit: greedily restore the
+    most confident digit reading among empty-reported cells until the
+    puzzle is unique again. A candidate must keep the grid valid AND
+    solvable, so restoration can only select among the existing
+    solution set — it narrows ambiguity, never invents contradictions.
+
+    Beyond the reference: its solver returns the first solution found
+    with no uniqueness check anywhere (reference solver/src/sudoku.c:72,
+    pipeline/run_v2.py:254).
+
+    success=True means the grid is now uniquely solvable; on False the
+    caller should surface the ambiguity (status "ambiguous") instead of
+    presenting an arbitrary member of the solution set as THE answer.
+    """
+    from sudoku_vision_tpu import solver as native_solver
+
+    g = np.asarray(grid).copy()
+    p81 = np.asarray(probs).reshape(81, 10)
+    corrections: list = []
+    for _ in range(limit + 1):
+        if native_solver.count_solutions(g, 2) == 1:
+            return ResolutionResult(True, g, corrections)
+        if len(corrections) >= limit:
+            break
+        flat = g.reshape(-1)
+        cands = []
+        for idx in np.flatnonzero(flat == 0):
+            d = int(np.argmax(p81[idx]))
+            if d != 0 and float(p81[idx, d]) >= min_p:
+                cands.append((float(p81[idx, d]), int(idx), d))
+        placed = False
+        for _pconf, idx, d in sorted(cands, reverse=True):
+            t = g.copy()
+            t[idx // 9, idx % 9] = d
+            if native_solver.validate(t) and native_solver.solve(t).solved:
+                corrections.append(((idx // 9, idx % 9), 0, d))
+                g = t
+                placed = True
+                break
+        if not placed:
+            break
+    return ResolutionResult(False, g, corrections)

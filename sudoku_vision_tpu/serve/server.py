@@ -326,9 +326,25 @@ class InferenceEngine:
                     work = esc.grid
             corrected = not np.array_equal(work, digits)
         sres = native_solver.solve(work, timeout_s=5.0)
+        status = sres.status_name
+        if sres.solved and native_solver.count_solutions(work, 2) > 1:
+            # Uniqueness gate (same as run_v2): several solutions mean
+            # a given was erased upstream — restore from CNN evidence
+            # or report the ambiguity rather than a coin-flip answer.
+            from sudoku_vision_tpu.reasoning import restore_erased_givens
+
+            rest = restore_erased_givens(work, probs.reshape(81, 10))
+            if rest.corrections:
+                r2 = native_solver.solve(rest.grid, timeout_s=5.0)
+                if r2.solved:
+                    work = rest.grid
+                    corrected = True
+                    sres = r2
+            if not rest.success:
+                status = "ambiguous"
         return {
             "corrected": corrected,
-            "status": sres.status_name,
+            "status": status,
             "solution": ("".join(map(str, sres.grid.reshape(-1)))
                          if sres.solved else None),
         }

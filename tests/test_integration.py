@@ -60,7 +60,10 @@ def test_end_to_end_connects(scene):
 
     res = run_pipeline(scene[..., None].repeat(3, axis=2),
                        PipelineConfig(check_quality=False, model="v3light"))
-    assert res.status in ("solved", "unsolvable", "invalid")
+    # "ambiguous": this test's model is whatever checkpoint (or random
+    # init) is around, so a garbage recognition can solve to a
+    # multi-solution grid — the uniqueness gate reports that honestly.
+    assert res.status in ("solved", "unsolvable", "invalid", "ambiguous")
     assert res.recognized_grid.shape == (9, 9)
     assert res.confidence.shape == (9, 9)
     assert res.time_graph > 0
