@@ -139,6 +139,7 @@ def cells_empty_mask(
     border_frac: float = 0.15,
     min_ink_depth: float = 45.0,
     depth_floor: float = 25.0,
+    low_light_gate: float = 150.0,
 ) -> jnp.ndarray:
     """Ink-ratio empty-cell detection (reference cv/extract.py:59 rule:
     <2% ink pixels -> empty).
@@ -154,11 +155,23 @@ def cells_empty_mask(
     cut silently ERASED a printed digit in a low-light scene whose
     whole stroke contrast was compressed below 45 (sweep 90210
     s077_low_light — the weakened puzzle then solved to a WRONG grid
-    at "confidence 1.0"). Scaling to half the cell's own contrast
-    keeps the cut above ghosts and grain (which compress along with
-    the light) while always admitting real strokes; the floor keeps
-    pure-grain empty cells from self-qualifying, and the cap restores
-    the calibrated 45 exactly for normal lighting.
+    at "confidence 1.0"). The floor keeps pure-grain empty cells from
+    self-qualifying; the cap restores the calibrated 45 exactly for
+    normal lighting.
+
+    Adaptation is GATED on evidence of compressed illumination: it
+    applies only when the cell's median (its paper level) is itself
+    dark, < low_light_gate. Without the gate, a mid-contrast
+    show-through ghost (25-45 below paper) in NORMAL light sets
+    dark2pct ~ median - C and depth = floor < C, flagging a truly
+    empty cell as a digit — exactly what the fixed 45 was calibrated
+    against. Paper medians separate the regimes cleanly: the low-light
+    scene family renders paper at 0.35-0.55 x 220 ~ 77-121 while
+    normally lit paper sits >= ~190 (ml/generate_scenes.py:481), so
+    bright cells keep the full 45 cut (ghost-proof) and only
+    genuinely dark cells scale with their own contrast. A ghost seen
+    THROUGH low light is compressed with everything else (0.45 x 45
+    ~ 20 < floor), so the floor still rejects it.
     """
     n, s, _ = cells.shape
     b = int(s * border_frac)
@@ -174,7 +187,8 @@ def cells_empty_mask(
            if m % 2 == 0 else srt[:, m // 2])
     k = max(1, round(0.02 * m))
     dark = srt[:, k]
-    depth = jnp.clip(0.5 * (med - dark), depth_floor, min_ink_depth)
+    depth_adapt = jnp.clip(0.5 * (med - dark), depth_floor, min_ink_depth)
+    depth = jnp.where(med < low_light_gate, depth_adapt, min_ink_depth)
     ink = inner < (med - depth)[:, None]
     ink_ratio = ink.mean(axis=1, dtype=jnp.float32)
     return ink_ratio < ink_thresh

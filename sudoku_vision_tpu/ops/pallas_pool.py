@@ -167,6 +167,10 @@ def pooled_gray_packed(x2: jnp.ndarray, f: int,
         return pooled_gray(x2.reshape(h, w, 3), f)
 
     br = block_rows or _BLOCK_ROWS
+    if br <= 0 or br % f != 0:
+        raise ValueError(
+            f"block_rows={br} must be a positive multiple of f={f} "
+            "(the br//f block specs silently mis-tile otherwise)")
     out = pl.pallas_call(
         partial(_kernel, f=f),
         out_shape=jax.ShapeDtypeStruct((h // f, w3), jnp.uint8),

@@ -305,8 +305,17 @@ def restore_erased_givens(
     g = np.asarray(grid).copy()
     p81 = np.asarray(probs).reshape(81, 10)
     corrections: list = []
+    # A candidate must strictly REDUCE the solution count to be
+    # committed (advisor finding, round 4): a digit common to every
+    # solution is valid + solvable yet narrows nothing, and committing
+    # it burned the limit budget on no-ops while the actually erased
+    # given went unrestored — a spurious "ambiguous". Counts are
+    # saturated at a small cap; two counts at the cap compare equal,
+    # so such a candidate is (conservatively) skipped too.
+    cap = 8
+    cur = native_solver.count_solutions(g, cap)
     for _ in range(limit + 1):
-        if native_solver.count_solutions(g, 2) == 1:
+        if cur == 1:
             return ResolutionResult(True, g, corrections)
         if len(corrections) >= limit:
             break
@@ -320,9 +329,12 @@ def restore_erased_givens(
         for _pconf, idx, d in sorted(cands, reverse=True):
             t = g.copy()
             t[idx // 9, idx % 9] = d
-            if native_solver.validate(t) and native_solver.solve(t).solved:
+            if not native_solver.validate(t):
+                continue
+            cnt = native_solver.count_solutions(t, cap)
+            if 0 < cnt < cur:      # solvable AND strictly narrower
                 corrections.append(((idx // 9, idx % 9), 0, d))
-                g = t
+                g, cur = t, cnt
                 placed = True
                 break
         if not placed:

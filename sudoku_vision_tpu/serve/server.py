@@ -342,12 +342,19 @@ class InferenceEngine:
                     sres = r2
             if not rest.success:
                 status = "ambiguous"
-        return {
-            "corrected": corrected,
-            "status": status,
-            "solution": ("".join(map(str, sres.grid.reshape(-1)))
-                         if sres.solved else None),
-        }
+        sol_str = ("".join(map(str, sres.grid.reshape(-1)))
+                   if sres.solved else None)
+        if status == "ambiguous":
+            # An ambiguous grid has SEVERAL solutions; presenting one
+            # under the "solution" key renders exactly like a real
+            # answer (advisor finding, round 4). Ship it under
+            # "tentative_solution" instead so clients must opt in to
+            # showing it — and show it differently (scanner.js
+            # renders tentative cells dimmed with an explicit hint).
+            return {"corrected": corrected, "status": status,
+                    "solution": None, "tentative_solution": sol_str}
+        return {"corrected": corrected, "status": status,
+                "solution": sol_str}
 
 
 class ScanSession:

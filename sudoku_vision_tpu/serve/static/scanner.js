@@ -26,20 +26,26 @@ function applyEdit(rec, index, digit) {
 }
 
 // Display class for a cell given recognized/solution digits + confidence.
-function classForCell(recDigit, confidence, edited) {
+// `tentative` marks solver-filled cells of an AMBIGUOUS scan (several
+// solutions exist) so they render distinctly from a real answer.
+function classForCell(recDigit, confidence, edited, tentative) {
   if (edited) return 'given';
-  if (recDigit === '0') return 'solved';
+  if (recDigit === '0') return tentative ? 'tentative' : 'solved';
   return confidence < 0.7 ? 'lowconf' : 'given';
 }
 
-// Extract the render model from a /scan response.
+// Extract the render model from a /scan response. An ambiguous scan
+// carries its best-effort grid under tentative_solution (never
+// "solution" — the server withholds that key so a multi-solution
+// coin-flip cannot render like a real answer).
 function gridFromScan(data) {
   return {
     rec: data.recognized_grid,
-    sol: data.solution || data.recognized_grid,
+    sol: data.solution || data.tentative_solution || data.recognized_grid,
     conf: data.confidence,
     alts: data.alternatives || null,
     status: data.status,
+    ambiguous: data.status === 'ambiguous',
   };
 }
 
@@ -458,6 +464,7 @@ function initApp() {
     conf: null,
     alts: null,
     sol: null,
+    ambiguous: false,   // scan had several solutions (sol is tentative)
     edited: new Set(),  // indices the user corrected
     editing: -1,
     liveTimer: null,
@@ -471,7 +478,7 @@ function initApp() {
       const td = tbl.rows[(i / 9) | 0].cells[i % 9];
       td.textContent = sol[i] === '0' ? '' : sol[i];
       td.className = classForCell(state.rec[i], state.conf[i],
-                                  state.edited.has(i));
+                                  state.edited.has(i), state.ambiguous);
       if (i === state.editing) td.classList.add('editing');
     }
   }
@@ -522,7 +529,8 @@ function initApp() {
       }
       data.time_ms = 'local';
     }
-    state.sol = data.solution || state.rec;
+    state.sol = data.solution || data.tentative_solution || state.rec;
+    state.ambiguous = data.status === 'ambiguous';
     statusEl.textContent = data.status === 'solved'
         ? `re-solved in ${data.time_ms} ms`
         : `after edit: ${data.status}`;
@@ -580,13 +588,16 @@ function initApp() {
     const m = gridFromScan(data);
     state.rec = m.rec; state.sol = m.sol; state.conf = m.conf;
     state.alts = m.alts; state.edited = new Set(); state.editing = -1;
+    state.ambiguous = m.ambiguous;
     statusEl.textContent = m.status +
         (data.time_graph_ms !== undefined
              ? ` · graph ${data.time_graph_ms} ms` : '') +
         ` · round-trip ${ms} ms` +
         (data.n_coalesced > 1 ? ` · batch of ${data.n_coalesced}` : '');
-    hintEl.textContent =
-        'tap any cell to correct it (red = low confidence)';
+    hintEl.textContent = m.ambiguous
+        ? 'several solutions fit this scan — dimmed digits are ' +
+          'TENTATIVE; correct a cell (a missed given?) to disambiguate'
+        : 'tap any cell to correct it (red = low confidence)';
     render();
   }
 
@@ -636,7 +647,11 @@ function initApp() {
   // ScanPipeline.swift:245, which keeps this state on the phone). The
   // solve fires exactly once per stable segment and renders WITHOUT
   // pressing capture.
-  const sid = 'live-' + ((performance.now() * 997) | 0);
+  // Entropy-mixed id: performance.now() alone starts near 0 on every
+  // page load, so two tabs could collide and share one ScanSession,
+  // corrupting each other's stabilizer state (advisor finding).
+  const sid = 'live-' + Date.now().toString(36) + '-' +
+      Math.random().toString(36).slice(2, 10);
   async function liveDetectTick() {
     if (!video.videoWidth) return;
     const c = document.getElementById('frame');

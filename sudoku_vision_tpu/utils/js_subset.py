@@ -466,6 +466,49 @@ class _JSMath:
     sign = staticmethod(lambda x: (x > 0) - (x < 0))
     min = staticmethod(lambda *a: min(a))
     max = staticmethod(lambda *a: max(a))
+    random = staticmethod(lambda: __import__("random").random())
+
+
+class _JSDate:
+    """The Date global (only the static scanner.js uses: Date.now)."""
+
+    now = staticmethod(lambda: float(
+        int(__import__("time").time() * 1000)))
+
+
+_RADIX_DIGITS = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _js_number_to_string(x: float, radix: int = 10) -> str:
+    """Number.prototype.toString(radix) for the session-id path:
+    integer part in the given base plus up to 12 fractional digits
+    (JS emits ~10-16; callers slice, so the exact tail length is
+    immaterial)."""
+    radix = int(radix)
+    if radix == 10:
+        return _js_string(x)
+    neg = x < 0
+    x = abs(float(x))
+    ip = int(x)
+    frac = x - ip
+    digits = []
+    while True:
+        digits.append(_RADIX_DIGITS[ip % radix])
+        ip //= radix
+        if ip == 0:
+            break
+    out = ("-" if neg else "") + "".join(reversed(digits))
+    if frac > 0:
+        fd = []
+        for _ in range(12):
+            frac *= radix
+            d = int(frac)
+            fd.append(_RADIX_DIGITS[d])
+            frac -= d
+            if frac <= 0:
+                break
+        out += "." + "".join(fd)
+    return out
 
 
 class _Fn:
@@ -612,6 +655,8 @@ class JSEnv:
                     else v
             if node[1] == "Math":
                 return _JSMath
+            if node[1] == "Date":
+                return _JSDate
             if node[1] == "Infinity":
                 return float("inf")
             raise JSSubsetError(f"unbound name {node[1]!r}")
@@ -753,6 +798,17 @@ class JSEnv:
             if fn is None:
                 raise JSSubsetError(f"unsupported Math member {name!r}")
             return fn
+        if base is _JSDate:
+            fn = getattr(_JSDate, name, None)
+            if fn is None:
+                raise JSSubsetError(f"unsupported Date member {name!r}")
+            return fn
+        if isinstance(base, (int, float)) and not isinstance(base, bool):
+            if name == "toString":
+                return lambda radix=10: _js_number_to_string(base, radix)
+            if name == "toFixed":
+                return lambda nd=0: f"{float(base):.{int(nd)}f}"
+            raise JSSubsetError(f"unsupported number member {name!r}")
         raise JSSubsetError(
             f"unsupported member {name!r} on {type(base).__name__}")
 

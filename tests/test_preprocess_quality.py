@@ -126,3 +126,39 @@ def test_empty_mask_separates_digits_from_ghosts():
     assert not mask[:9].any()      # digits detected as non-empty
     assert mask[9:18].all()        # ghosts stay empty
     assert mask[18:].all()         # plain paper is empty
+
+
+def test_empty_mask_rejects_mid_contrast_ghosts_in_normal_light():
+    """Advisor regression (round-4 ADVICE #1): a show-through ghost
+    25-45 below bright paper must NOT trip the adaptive ink depth —
+    adaptation is gated on compressed illumination (dark paper)."""
+    cells = np.full((81, 28, 28), 220, np.uint8)
+    cells += RNG.integers(-4, 5, cells.shape).astype(np.uint8)
+    # cells 0..8: mid-contrast ghosts (35 below paper — inside the
+    # (depth_floor, min_ink_depth] band the ungated adaptive cut let in)
+    for i in range(9):
+        cells[i, 8:20, 10:18] = 185
+    # cells 9..17: ghosts right at the old fixed cut (44 below paper)
+    for i in range(9, 18):
+        cells[i, 8:20, 10:18] = 176
+    mask = np.asarray(jax.jit(cells_empty_mask)(jnp.asarray(cells)))
+    assert mask.all()              # every cell stays empty
+
+
+def test_empty_mask_low_light_adaptation_still_admits_strokes():
+    """The s077_low_light fix must survive the ghost gate: dark paper
+    (median < gate) keeps per-cell contrast adaptation, so compressed
+    strokes below the fixed 45 cut still read as ink, while a ghost
+    compressed by the same light stays below the floor."""
+    cells = np.full((81, 28, 28), 100, np.uint8)   # 0.45x-lit paper
+    cells += RNG.integers(-4, 5, cells.shape).astype(np.uint8)
+    # cells 0..8: compressed print strokes, depth 35 < 45
+    for i in range(9):
+        cells[i, 8:20, 12:16] = 65
+    # cells 9..17: ghosts compressed along with the light (depth ~20)
+    for i in range(9, 18):
+        cells[i, 8:20, 10:18] = 80
+    mask = np.asarray(jax.jit(cells_empty_mask)(jnp.asarray(cells)))
+    assert not mask[:9].any()      # compressed digits still detected
+    assert mask[9:18].all()        # compressed ghosts stay empty
+    assert mask[18:].all()

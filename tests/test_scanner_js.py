@@ -82,6 +82,16 @@ def test_class_for_cell(js):
     assert js.call("classForCell", "5", 0.95, False) == "given"
 
 
+def test_class_for_cell_tentative_when_ambiguous(js):
+    """Solver-filled cells of an AMBIGUOUS scan must not render like a
+    real answer (advisor finding, round 4): they get the dimmed
+    'tentative' class; recognized/edited cells are unaffected."""
+    assert js.call("classForCell", "0", 0.99, False, True) == "tentative"
+    assert js.call("classForCell", "0", 0.99, False, False) == "solved"
+    assert js.call("classForCell", "5", 0.9, False, True) == "given"
+    assert js.call("classForCell", "5", 0.2, True, True) == "given"
+
+
 # ---------------------------------------------------------------------------
 # gridFromScan — /scan response mapping
 # ---------------------------------------------------------------------------
@@ -105,6 +115,22 @@ def test_grid_from_scan_unsolved_falls_back_to_recognized(js):
     m = js.call("gridFromScan", data)
     assert m["sol"] == "3" * 81
     assert m["alts"] is None
+
+
+def test_grid_from_scan_ambiguous_uses_tentative_solution(js):
+    """An ambiguous response has solution=null + tentative_solution;
+    the model renders it but flags the ambiguity."""
+    data = {"recognized_grid": "1" * 81, "solution": None,
+            "tentative_solution": "2" * 81,
+            "confidence": [0.9] * 81, "status": "ambiguous"}
+    m = js.call("gridFromScan", data)
+    assert m["sol"] == "2" * 81
+    assert m["ambiguous"] is True
+    data["status"] = "solved"
+    data["solution"] = "4" * 81
+    m = js.call("gridFromScan", data)
+    assert m["sol"] == "4" * 81
+    assert m["ambiguous"] is False
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,32 @@ def test_restoration_never_invents_invalid_digits(erased):
     assert res.corrections == []
 
 
+def test_budget_not_wasted_on_noop_restorations(erased):
+    """Advisor regression (round-4 ADVICE #2): a candidate whose digit
+    is common to ALL remaining solutions is valid + solvable yet
+    narrows nothing; it must be skipped (not committed) so the budget
+    reaches the actually-erased given."""
+    g, (r, c), d = erased
+    sol = native_solver.solve(g).grid.reshape(-1)
+    # find an empty cell whose solved digit does NOT narrow the count
+    noop = None
+    for idx in np.flatnonzero(g.reshape(-1) == 0):
+        if (int(idx) // 9, int(idx) % 9) == (r, c):
+            continue
+        t = g.copy()
+        t[idx // 9, idx % 9] = int(sol[idx])
+        if native_solver.count_solutions(t, 2) > 1:
+            noop = (int(idx), int(sol[idx]))
+            break
+    assert noop is not None
+    # no-op candidate outranks the real erased given in confidence
+    probs = probs_for(g, extra={noop[0]: (noop[1], 0.97),
+                                r * 9 + c: (d, 0.8)})
+    res = restore_erased_givens(g, probs, limit=1)
+    assert res.success
+    assert res.corrections == [((r, c), 0, d)]
+
+
 def test_reason_and_solve_restores_and_flags(erased):
     from sudoku_vision_tpu.serve.server import InferenceEngine
 
@@ -113,10 +139,14 @@ def test_reason_and_solve_restores_and_flags(erased):
     assert out["status"] == "solved"
     assert out["corrected"] is True
     assert out["solution"] == SOLUTION
-    # without evidence: honest "ambiguous", best-effort solution kept
+    # without evidence: honest "ambiguous" — the coin-flip grid is
+    # withheld from "solution" (advisor finding: it rendered exactly
+    # like a real answer) and shipped tentatively instead
     out = InferenceEngine.reason_and_solve(g.copy(), probs_for(g))
     assert out["status"] == "ambiguous"
-    assert out["solution"] is not None
+    assert out["solution"] is None
+    assert out["tentative_solution"] is not None
+    assert len(out["tentative_solution"]) == 81
 
 
 def test_sweep_classifies_ambiguous_as_honest():
