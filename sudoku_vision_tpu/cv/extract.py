@@ -68,23 +68,35 @@ def refine_boundaries(
     digits; 32x11 and below starts flipping marginal cells (the
     centroid noise exceeds the snap margin). Validated by the 29-scene
     golden gate (curvature categories included).
+
+    SKEW-AWARE ANCHORING (round 5): bands were formerly centered on the
+    nominal positions themselves, which silently assumes the detected
+    corners are right. When a corner pair is stolen by a decoy edge
+    (sweep 7000 s121_printed_skew: the page's right edge displaced
+    TR/BR ~66 px outward), the true lines drift off nominal
+    CUMULATIVELY — by mid-grid they leave the +-window band and the
+    snap aliases onto the NEIGHBORING line, shifting every crop past
+    it by one cell. So each axis first fits a global 10-line comb
+    (offset a, spacing d) to a coarse lattice-mass profile over
+    [-margin, warp+margin], and the bands anchor on the comb. The comb
+    only ENGAGES when it beats the nominal comb (a=0, d=warp/9) by
+    >= 2 full lines of evidence — normal scenes (including curvature
+    bow, which the band centroid absorbs) keep nominal anchors and
+    bit-identical behavior; a stolen corner scores ~9 vs ~2 and
+    engages. A small deviation penalty breaks decoy ties toward
+    nominal. The reference never snaps (fixed 450/9 splits, reference
+    cv/extract.py:13) so it never mis-snaps — but it also never
+    recovers the true lattice; the comb does both.
     """
     nominal = jnp.arange(10, dtype=jnp.float32) * (warp_size / 9.0)
-    # (10, n_across) offsets spanning +-window around each boundary.
+    # (10, n_across) offsets spanning +-window around each anchor.
     offs = jnp.linspace(-window, window, n_across, dtype=jnp.float32)
-    across = nominal[:, None] + offs[None, :]               # (10, A)
     along = (jnp.arange(n_along, dtype=jnp.float32) + 0.5) \
         * (warp_size / n_along)                             # (L,)
     m = jnp.asarray(m_inv, jnp.float32)
 
-    def band_centroids(lat, horizontal: bool):
-        # Warp coords: horizontal lines vary y across, x along.
-        if horizontal:
-            gy = across[:, :, None]                         # (10, A, 1)
-            gx = along[None, None, :]                       # (1, 1, L)
-        else:
-            gx = across[:, :, None]
-            gy = along[None, None, :]
+    def sample_lat(lat, gx, gy):
+        """Lattice mass at warped coords (broadcasted gx/gy)."""
         den = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
         sx = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / den / ds
         sy = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / den / ds
@@ -92,9 +104,60 @@ def refine_boundaries(
         xi = jnp.clip(jnp.rint(sx).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.rint(sy).astype(jnp.int32), 0, h - 1)
         inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
-        v = jnp.where(inb, jnp.take(
+        return jnp.where(inb, jnp.take(
             lat.reshape(-1).astype(jnp.float32),
             (yi * w + xi).reshape(-1)).reshape(yi.shape), 0.0)
+
+    def comb_anchors(lat, horizontal: bool):
+        """Best 10-line arithmetic comb on a coarse mass profile."""
+        step, margin, n_pal = 3.0, 57.0, 12
+        xs = jnp.arange(-margin, warp_size + margin + 1, step,
+                        dtype=jnp.float32)                  # (P,)
+        pal = (jnp.arange(n_pal, dtype=jnp.float32) + 0.5) \
+            * (warp_size / n_pal)
+        if horizontal:
+            prof = sample_lat(lat, pal[None, :], xs[:, None]).mean(axis=1)
+        else:
+            prof = sample_lat(lat, xs[:, None], pal[None, :]).mean(axis=1)
+        # Triangle smoothing (radius 1 bin = 3 px) tolerates comb
+        # quantization and curvature smear.
+        prof = (prof
+                + 0.5 * jnp.pad(prof, (1, 0))[:-1]
+                + 0.5 * jnp.pad(prof, (0, 1))[1:]) / 2.0
+
+        def comb_score(a, d):
+            pos = a[..., None] + d[..., None] * jnp.arange(
+                10, dtype=jnp.float32)
+            fi = jnp.clip((pos + margin) / step, 0.0, prof.shape[0] - 1.001)
+            i0 = jnp.floor(fi).astype(jnp.int32)
+            t = fi - i0
+            tap = prof[i0] * (1 - t) + prof[i0 + 1] * t
+            # Deviation prior: endpoints' distance from the corners.
+            dev = jnp.abs(pos[..., 0]) + jnp.abs(pos[..., 9] - warp_size)
+            return tap.sum(-1) - 0.006 * dev
+
+        a_vals = jnp.arange(-57.0, 58.0, 3.0, dtype=jnp.float32)
+        d_vals = jnp.arange(36.0, 56.01, 0.5, dtype=jnp.float32)
+        sc = comb_score(a_vals[:, None], d_vals[None, :])   # (A, D)
+        best = jnp.argmax(sc)
+        a_b = a_vals[best // d_vals.shape[0]]
+        d_b = d_vals[best % d_vals.shape[0]]
+        sc_nom = comb_score(jnp.float32(0.0), jnp.float32(warp_size / 9.0))
+        engage = sc.reshape(-1)[best] >= sc_nom + 2.0
+        comb = a_b + d_b * jnp.arange(10, dtype=jnp.float32)
+        return jnp.where(engage, comb, nominal)
+
+    def band_centroids(lat, horizontal: bool):
+        anchors = comb_anchors(lat, horizontal)             # (10,)
+        across = anchors[:, None] + offs[None, :]           # (10, A)
+        # Warp coords: horizontal lines vary y across, x along.
+        if horizontal:
+            gy = across[:, :, None]                         # (10, A, 1)
+            gx = along[None, None, :]                       # (1, 1, L)
+        else:
+            gx = across[:, :, None]
+            gy = along[None, None, :]
+        v = sample_lat(lat, gx, gy)
         mass_a = v.mean(axis=2)                             # (10, A)
         mass_full = mass_a.sum(axis=1)
         cent_full = ((mass_a * across).sum(axis=1)
@@ -110,10 +173,10 @@ def refine_boundaries(
         # any outside decoy's reach — so interior boundaries keep the
         # full centroid (real page curvature bows them ~10 px, and a
         # narrow snap measurably breaks the golden photos). Rule:
-        # smooth the per-offset mass, take the bin NEAREST NOMINAL
+        # smooth the per-offset mass, take the bin NEAREST THE ANCHOR
         # among bins >= 50% of the peak (the true outer line passes
-        # within the corner-pinned homography's few px of nominal at
-        # the span ends), centroid its +-2-bin (+-8 px) neighborhood.
+        # within the corner-pinned homography's few px of its anchor
+        # at the span ends), centroid its +-2-bin (+-8 px) neighborhood.
         sm = (mass_a
               + 0.5 * jnp.pad(mass_a, ((0, 0), (1, 0)))[:, :-1]
               + 0.5 * jnp.pad(mass_a, ((0, 0), (0, 1)))[:, 1:])
@@ -128,7 +191,7 @@ def refine_boundaries(
         outer = (jnp.arange(10) == 0) | (jnp.arange(10) == 9)
         mass = jnp.where(outer, mass_nb, mass_full)
         cent = jnp.where(outer, cent_nb, cent_full)
-        return jnp.where(mass > 0.25, cent, nominal)
+        return jnp.where(mass > 0.25, cent, anchors)
 
     return band_centroids(lat_h, True), band_centroids(lat_v, False)
 

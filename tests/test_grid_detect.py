@@ -238,3 +238,55 @@ def test_refine_boundaries_follows_true_bow():
                                atol=1.5)
     np.testing.assert_allclose(np.asarray(b_x), np.arange(10) * 50.0,
                                atol=1.5)
+
+
+def test_refine_boundaries_recovers_stolen_edge():
+    """s121_printed_skew regression (sweep base 7000): when a decoy
+    steals an edge's corner pair, the true lines drift off nominal
+    cumulatively (here: spacing 45 from x=2, as measured on s121 —
+    true line 9 at 407 vs nominal 450) and the old nominal-anchored
+    bands aliased boundaries >= 5 onto NEIGHBORING lines, shifting
+    crops one full cell. The global comb fit must recover the true
+    progression on the skewed axis while the aligned axis keeps
+    nominal anchoring."""
+    from sudoku_vision_tpu.cv.extract import refine_boundaries
+
+    h = w = 520
+    lat_h = np.zeros((h, w), np.int8)
+    lat_v = np.zeros((h, w), np.int8)
+    for i in range(10):
+        y = round(i * 50.0)
+        lat_h[max(0, y - 1):y + 2, :460] = 1
+        x = round(2 + i * 45.0)          # compressed: corners stolen
+        lat_v[:460, max(0, x - 1):x + 2] = 1
+    m_inv = jnp.eye(3, dtype=jnp.float32)
+    b_y, b_x = jax.jit(lambda lh, lv: refine_boundaries(
+        jnp.asarray(lh), jnp.asarray(lv), m_inv, 1, 450))(lat_h, lat_v)
+    np.testing.assert_allclose(np.asarray(b_y), np.arange(10) * 50.0,
+                               atol=1.5)
+    np.testing.assert_allclose(np.asarray(b_x), 2 + np.arange(10) * 45.0,
+                               atol=2.0)
+
+
+def test_refine_boundaries_comb_stays_nominal_on_partial_lattice():
+    """A normal scene with a few MISSING lines (ink gaps) must not
+    engage the comb off-nominal: missing evidence alone is not a
+    displacement signal, and the per-band fallback keeps those
+    boundaries at their anchors."""
+    from sudoku_vision_tpu.cv.extract import refine_boundaries
+
+    h = w = 520
+    lat_h = np.zeros((h, w), np.int8)
+    lat_v = np.zeros((h, w), np.int8)
+    for i in range(10):
+        y = round(i * 50.0)
+        if i not in (3, 6):              # two h-lines entirely missing
+            lat_h[max(0, y - 1):y + 2, :460] = 1
+        lat_v[:460, max(0, y - 1):y + 2] = 1
+    m_inv = jnp.eye(3, dtype=jnp.float32)
+    b_y, b_x = jax.jit(lambda lh, lv: refine_boundaries(
+        jnp.asarray(lh), jnp.asarray(lv), m_inv, 1, 450))(lat_h, lat_v)
+    np.testing.assert_allclose(np.asarray(b_y), np.arange(10) * 50.0,
+                               atol=1.5)
+    np.testing.assert_allclose(np.asarray(b_x), np.arange(10) * 50.0,
+                               atol=1.5)
