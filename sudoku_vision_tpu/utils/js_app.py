@@ -410,8 +410,8 @@ class _AppFn:
         if not self.is_arrow:
             s.vars["arguments"] = list(args)
         try:
-            for st in self.body:
-                self.env._exec(st, s)
+            for st in self.env.compile_block(self.body):
+                st(s)
         except _Return as r:
             return r.value
         return UNDEFINED
@@ -628,6 +628,169 @@ class JSAppEnv(JSEnv):
             else:
                 raise JSSubsetError(
                     f"cannot set member on {type(base).__name__}")
+
+    # --- compiler overrides (paired with the _exec/_eval overrides
+    # below, per the js_subset compiled-evaluator contract) ---
+
+    def _cs_decl(self, stmt):
+        pairs = [(name, self._compile_expr(init) if init is not None
+                  else None) for name, init in stmt[1]]
+
+        def run(scope):
+            for name, init in pairs:
+                scope.vars[name] = (UNDEFINED if init is None
+                                    else init(scope))
+        return run
+
+    def _cs_funcdecl(self, stmt):
+        _, name, params, body, is_async = stmt
+
+        def run(scope):
+            scope.vars[name] = _AppFn(params, body, scope, self,
+                                      is_async, False)
+        return run
+
+    def _cs_try(self, stmt):
+        _, blk, param, cblk = stmt
+        c_blk = self.compile_block(blk)
+        c_cblk = self.compile_block(cblk)
+
+        def run(scope):
+            try:
+                for s in c_blk:
+                    s(scope)
+            except _JSThrow as e:
+                cs = _Scope(scope)
+                if param:
+                    cs.vars[param] = e.value
+                for s in c_cblk:
+                    s(cs)
+        return run
+
+    def _cs_throw(self, stmt):
+        e = self._compile_expr(stmt[1])
+
+        def run(scope):
+            raise _JSThrow(e(scope))
+        return run
+
+    def _cs_assign(self, stmt):
+        _, target, aop, value_node = stmt
+        val = self._compile_augmented(target, aop, value_node)
+        if target[0] == "name":
+            name = target[1]
+
+            def run(scope):
+                scope.assign(name, val(scope))
+            return run
+        if target[0] == "index":
+            base_e = self._compile_expr(target[1])
+            idx_e = self._compile_expr(target[2])
+
+            def run(scope):
+                base, idx = base_e(scope), idx_e(scope)
+                v = val(scope)
+                if isinstance(base, list):
+                    i = int(idx)
+                    if not 0 <= i < len(base):
+                        raise JSSubsetError(
+                            f"index {i} out of bounds (len {len(base)})")
+                    base[i] = v
+                elif isinstance(base, dict):
+                    base[idx] = v
+                else:
+                    raise JSSubsetError(
+                        f"cannot index-assign {type(base).__name__}")
+            return run
+        base_e = self._compile_expr(target[1])
+        name = target[2]
+
+        def run(scope):
+            base = base_e(scope)
+            if isinstance(base, dict):
+                base[name] = val(scope)
+            else:
+                raise JSSubsetError(
+                    f"cannot set member on {type(base).__name__}")
+        return run
+
+    def _cs_for(self, stmt):
+        # Per-iteration bindings (see the dynamic _exec's comment).
+        _, init, cond, update, body = stmt
+        c_init = self._compile_stmt(init) if init is not None else None
+        c_cond = self._compile_expr(cond) if cond is not None else None
+        c_upd = self._compile_stmt(update) if update is not None else None
+        c_body = self.compile_block(body)
+
+        def run(scope):
+            fscope = _Scope(scope)
+            if c_init is not None:
+                c_init(fscope)
+            loop_vars = list(fscope.vars.keys())
+            while c_cond is None or _truthy(c_cond(fscope)):
+                iscope = _Scope(scope)
+                for k in loop_vars:
+                    iscope.vars[k] = fscope.vars[k]
+                try:
+                    for s in c_body:
+                        s(iscope)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                for k in loop_vars:
+                    fscope.vars[k] = iscope.vars[k]
+                if c_upd is not None:
+                    c_upd(fscope)
+        return run
+
+    def _cx_fn(self, node):
+        _, params, body, is_async, is_arrow = node
+        return lambda scope: _AppFn(params, body, scope, self,
+                                    is_async, is_arrow)
+
+    def _cx_await(self, node):
+        e = self._compile_expr(node[1])
+
+        def run(scope):
+            v = e(scope)
+            if isinstance(v, _JSPromise):
+                if v.state == "fulfilled":
+                    return v.value
+                if v.state == "rejected":
+                    raise _JSThrow(v.value)
+                raise JSSubsetError(
+                    "await on a pending promise — mock browser callbacks "
+                    "must settle synchronously")
+            return v
+        return run
+
+    def _cx_typeof(self, node):
+        return lambda scope, _n=node: self._eval(_n, scope)
+
+    def _cx_tpl(self, node):
+        parts = [(kind, v if kind == "s" else self._compile_expr(v))
+                 for kind, v in node[1]]
+
+        def run(scope):
+            return "".join(v if kind == "s" else _js_string(v(scope))
+                           for kind, v in parts)
+        return run
+
+    def _cx_cmp(self, node):
+        o = node[1]
+        ae = self._compile_expr(node[2])
+        be = self._compile_expr(node[3])
+
+        def run(scope):
+            a, b = ae(scope), be(scope)
+            if a is UNDEFINED or b is UNDEFINED:
+                return False
+            a = 0 if a is None else a
+            b = 0 if b is None else b
+            return {"<": a < b, ">": a > b,
+                    "<=": a <= b, ">=": a >= b}[o]
+        return run
 
     def _eval(self, node, scope):
         op = node[0]

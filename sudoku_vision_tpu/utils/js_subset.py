@@ -511,16 +511,27 @@ def _js_number_to_string(x: float, radix: int = 10) -> str:
     return out
 
 
+def _num_ctor(v):
+    """JS Number(v) for subset values."""
+    return float(v) if not isinstance(v, (int, float)) else v
+
+
 class _Fn:
+    __slots__ = ("params", "body", "env", "_compiled")
+
     def __init__(self, params, body, env: "JSEnv"):
         self.params, self.body, self.env = params, body, env
+        self._compiled = None
 
     def __call__(self, *args):
+        compiled = self._compiled
+        if compiled is None:
+            compiled = self._compiled = self.env.compile_block(self.body)
         scope = dict(zip(self.params,
                          list(args) + [UNDEFINED] * len(self.params)))
         try:
-            for stmt in self.body:
-                self.env._exec(stmt, scope)
+            for run in compiled:
+                run(scope)
         except _Return as r:
             return r.value
         return UNDEFINED
@@ -539,6 +550,351 @@ class JSEnv:
 
     def call(self, name: str, *args):
         return self.functions[name](*args)
+
+    # --- closure compiler ---
+    #
+    # Tree-walking cost ~185M Python-level _eval visits for ONE 256x256
+    # offline scan (cProfile: 97 s of pure tuple dispatch, round-5
+    # suite-time work). Each AST node is therefore compiled ONCE into a
+    # Python closure; closures call their pre-compiled children
+    # directly, removing the per-visit op-string dispatch. Contract for
+    # subclasses: an override of an op's `_exec`/`_eval` semantics MUST
+    # be paired with the matching `_cs_<op>`/`_cx_<op>` compiler
+    # override (JSAppEnv does this for every op it changes); ops with
+    # no compiler fall back to the dynamic evaluator, which preserves
+    # subclass semantics for NEW ops automatically.
+
+    def compile_block(self, body):
+        cache = getattr(self, "_ccache", None)
+        if cache is None:
+            cache = self._ccache = {}
+        hit = cache.get(id(body))
+        if hit is not None:
+            return hit[1]
+        compiled = [self._compile_stmt(s) for s in body]
+        # key by identity; keep `body` referenced so ids stay unique
+        cache[id(body)] = (body, compiled)
+        return compiled
+
+    def _compile_stmt(self, stmt):
+        m = getattr(self, "_cs_" + stmt[0], None)
+        if m is not None:
+            return m(stmt)
+        return lambda scope, _s=stmt: self._exec(_s, scope)
+
+    def _compile_expr(self, node):
+        m = getattr(self, "_cx_" + node[0], None)
+        if m is not None:
+            return m(node)
+        return lambda scope, _n=node: self._eval(_n, scope)
+
+    # statement compilers (semantics identical to _exec below)
+
+    def _cs_return(self, stmt):
+        e = self._compile_expr(stmt[1])
+
+        def run(scope):
+            raise _Return(e(scope))
+        return run
+
+    def _cs_decl(self, stmt):
+        name, e = stmt[1], self._compile_expr(stmt[2])
+
+        def run(scope):
+            scope[name] = e(scope)
+        return run
+
+    def _cs_if(self, stmt):
+        cond = self._compile_expr(stmt[1])
+        then = self.compile_block(stmt[2])
+        other = self.compile_block(stmt[3])
+
+        def run(scope):
+            for s in (then if _truthy(cond(scope)) else other):
+                s(scope)
+        return run
+
+    def _cs_while(self, stmt):
+        cond = self._compile_expr(stmt[1])
+        body = self.compile_block(stmt[2])
+
+        def run(scope):
+            while _truthy(cond(scope)):
+                try:
+                    for s in body:
+                        s(scope)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+        return run
+
+    def _cs_for(self, stmt):
+        _, init, cond, update, body = stmt
+        c_init = self._compile_stmt(init) if init is not None else None
+        c_cond = self._compile_expr(cond) if cond is not None else None
+        c_upd = self._compile_stmt(update) if update is not None else None
+        c_body = self.compile_block(body)
+
+        def run(scope):
+            if c_init is not None:
+                c_init(scope)
+            while c_cond is None or _truthy(c_cond(scope)):
+                try:
+                    for s in c_body:
+                        s(scope)
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if c_upd is not None:
+                    c_upd(scope)
+        return run
+
+    def _cs_break(self, stmt):
+        def run(scope):
+            raise _Break()
+        return run
+
+    def _cs_continue(self, stmt):
+        def run(scope):
+            raise _Continue()
+        return run
+
+    def _cs_exprstmt(self, stmt):
+        e = self._compile_expr(stmt[1])
+
+        def run(scope):
+            e(scope)
+        return run
+
+    def _compile_augmented(self, target, aop, value_node):
+        """Shared (value, target) -> new-value closure for `x op= v`."""
+        val = self._compile_expr(value_node)
+        if aop == "=":
+            return val
+        cur = self._compile_expr(target)
+        js_mod = self._js_mod
+
+        def run(scope):
+            c, v = cur(scope), val(scope)
+            if aop == "+=":
+                return (_js_string(c) + _js_string(v)
+                        if isinstance(c, str) or isinstance(v, str)
+                        else c + v)
+            if aop == "-=":
+                return c - v
+            if aop == "*=":
+                return c * v
+            if aop == "/=":
+                return c / v
+            return js_mod(c, v)
+        return run
+
+    def _cs_assign(self, stmt):
+        _, target, aop, value_node = stmt
+        val = self._compile_augmented(target, aop, value_node)
+        if target[0] == "name":
+            name = target[1]
+
+            def run(scope):
+                if name not in scope:
+                    raise JSSubsetError(
+                        f"assignment to undeclared {name!r}")
+                scope[name] = val(scope)
+            return run
+        if target[0] == "index":
+            base_e = self._compile_expr(target[1])
+            idx_e = self._compile_expr(target[2])
+
+            def run(scope):
+                base, idx = base_e(scope), idx_e(scope)
+                v = val(scope)
+                if isinstance(base, list):
+                    i = int(idx)
+                    if not 0 <= i < len(base):
+                        raise JSSubsetError(f"index {i} out of bounds "
+                                            f"(len {len(base)})")
+                    base[i] = v
+                elif isinstance(base, dict):
+                    base[idx] = v
+                else:
+                    raise JSSubsetError(
+                        f"cannot index-assign {type(base).__name__}")
+            return run
+        base_e = self._compile_expr(target[1])
+        name = target[2]
+
+        def run(scope):
+            base = base_e(scope)
+            if not isinstance(base, dict):
+                raise JSSubsetError(
+                    f"cannot set member on {type(base).__name__}")
+            base[name] = val(scope)
+        return run
+
+    # expression compilers (semantics identical to _eval below)
+
+    def _cx_lit(self, node):
+        v = node[1]
+        return lambda scope: v
+
+    def _cx_name(self, node):
+        n = node[1]
+
+        def run(scope):
+            if n in scope:
+                return scope[n]
+            if n in self.functions:
+                return self.functions[n]
+            if n == "String":
+                return _js_string
+            if n == "Number":
+                return _num_ctor
+            if n == "Math":
+                return _JSMath
+            if n == "Date":
+                return _JSDate
+            if n == "Infinity":
+                return float("inf")
+            raise JSSubsetError(f"unbound name {n!r}")
+        return run
+
+    def _cx_ternary(self, node):
+        cond = self._compile_expr(node[1])
+        a = self._compile_expr(node[2])
+        b = self._compile_expr(node[3])
+        return lambda scope: a(scope) if _truthy(cond(scope)) else b(scope)
+
+    def _cx_or(self, node):
+        a, b = self._compile_expr(node[1]), self._compile_expr(node[2])
+
+        def run(scope):
+            left = a(scope)
+            return left if _truthy(left) else b(scope)
+        return run
+
+    def _cx_and(self, node):
+        a, b = self._compile_expr(node[1]), self._compile_expr(node[2])
+
+        def run(scope):
+            left = a(scope)
+            return b(scope) if _truthy(left) else left
+        return run
+
+    def _cx_eq(self, node):
+        a, b = self._compile_expr(node[1]), self._compile_expr(node[2])
+        eq = self._strict_eq
+        return lambda scope: eq(a(scope), b(scope))
+
+    def _cx_ne(self, node):
+        a, b = self._compile_expr(node[1]), self._compile_expr(node[2])
+        eq = self._strict_eq
+        return lambda scope: not eq(a(scope), b(scope))
+
+    def _cx_cmp(self, node):
+        o = node[1]
+        a, b = self._compile_expr(node[2]), self._compile_expr(node[3])
+        if o == "<":
+            return lambda scope: a(scope) < b(scope)
+        if o == ">":
+            return lambda scope: a(scope) > b(scope)
+        if o == "<=":
+            return lambda scope: a(scope) <= b(scope)
+        return lambda scope: a(scope) >= b(scope)
+
+    def _cx_add(self, node):
+        ae, be = self._compile_expr(node[1]), self._compile_expr(node[2])
+
+        def run(scope):
+            a, b = ae(scope), be(scope)
+            if isinstance(a, str) or isinstance(b, str):
+                return _js_string(a) + _js_string(b)
+            return a + b
+        return run
+
+    def _cx_sub(self, node):
+        a, b = self._compile_expr(node[1]), self._compile_expr(node[2])
+        return lambda scope: a(scope) - b(scope)
+
+    def _cx_mul(self, node):
+        o = node[1]
+        a, b = self._compile_expr(node[2]), self._compile_expr(node[3])
+        if o == "*":
+            return lambda scope: a(scope) * b(scope)
+        if o == "/":
+            def run(scope):
+                x, y = a(scope), b(scope)
+                return (float("nan") if y == 0 and x == 0
+                        else float("inf") * (1 if x > 0 else -1) if y == 0
+                        else x / y)
+            return run
+        js_mod = self._js_mod
+        return lambda scope: js_mod(a(scope), b(scope))
+
+    def _cx_bit(self, node):
+        o = node[1]
+        ae, be = self._compile_expr(node[2]), self._compile_expr(node[3])
+        if o == "|":
+            return lambda scope: _toint32(
+                _toint32(ae(scope)) | _toint32(be(scope)))
+        if o == "&":
+            return lambda scope: _toint32(
+                _toint32(ae(scope)) & _toint32(be(scope)))
+        if o == "^":
+            return lambda scope: _toint32(
+                _toint32(ae(scope)) ^ _toint32(be(scope)))
+        if o == "<<":
+            return lambda scope: _toint32(
+                _toint32(ae(scope)) << (int(be(scope)) & 31))
+        if o == ">>":
+            return lambda scope: _toint32(ae(scope)) >> (
+                int(be(scope)) & 31)
+        return lambda scope: (
+            (_toint32(ae(scope)) & 0xFFFFFFFF) >> (int(be(scope)) & 31))
+
+    def _cx_arr(self, node):
+        elems = [self._compile_expr(e) for e in node[1]]
+        return lambda scope: [e(scope) for e in elems]
+
+    def _cx_not(self, node):
+        e = self._compile_expr(node[1])
+        return lambda scope: not _truthy(e(scope))
+
+    def _cx_neg(self, node):
+        e = self._compile_expr(node[1])
+        return lambda scope: -e(scope)
+
+    def _cx_obj(self, node):
+        items = [(k, self._compile_expr(v)) for k, v in node[1]]
+        return lambda scope: {k: v(scope) for k, v in items}
+
+    def _cx_member(self, node):
+        base = self._compile_expr(node[1])
+        name = node[2]
+        return lambda scope: self._member(base(scope), name)
+
+    def _cx_index(self, node):
+        base_e = self._compile_expr(node[1])
+        idx_e = self._compile_expr(node[2])
+
+        def run(scope):
+            base, idx = base_e(scope), idx_e(scope)
+            if isinstance(base, str):
+                i = int(idx)
+                return base[i] if 0 <= i < len(base) else UNDEFINED
+            if isinstance(base, dict):
+                return base.get(idx, UNDEFINED)
+            if isinstance(base, list):
+                i = int(idx)
+                return base[i] if 0 <= i < len(base) else UNDEFINED
+            raise JSSubsetError(f"cannot index {type(base).__name__}")
+        return run
+
+    def _cx_call(self, node):
+        fn = self._compile_expr(node[1])
+        args = [self._compile_expr(a) for a in node[2]]
+        return lambda scope: fn(scope)(*[a(scope) for a in args])
 
     # --- evaluator ---
 
@@ -651,8 +1007,7 @@ class JSEnv:
             if node[1] == "String":
                 return _js_string
             if node[1] == "Number":
-                return lambda v: float(v) if not isinstance(v, (int, float)) \
-                    else v
+                return _num_ctor
             if node[1] == "Math":
                 return _JSMath
             if node[1] == "Date":
