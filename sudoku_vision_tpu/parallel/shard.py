@@ -64,7 +64,7 @@ def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
     @partial(
         jax.jit,
         in_shardings=(data_sharding,),
-        out_shardings=(data_sharding,) * 5,
+        out_shardings=(data_sharding,) * 7,
     )
     def fn(imgs):
         out = jax.vmap(
@@ -73,7 +73,38 @@ def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
                                 packed_bgr=packed_bgr)
         )(imgs)
         return (out.digits, out.confidence, out.probs, out.corners,
-                out.grid_found)
+                out.grid_found, out.boundaries_y, out.boundaries_x)
+
+    return fn, mesh
+
+
+def sharded_perceive_at_fn(model, variables, mesh: Mesh | None = None,
+                           temperature=None, use_clahe: bool = True,
+                           packed_bgr: bool = False):
+    """Data-sharded temporal-reuse graph (pipeline/graph.py::perceive_at):
+    frames AND their locked corners/boundaries shard along the data
+    axis; params replicate. The streaming sessions' detection-skip path
+    under mesh serving."""
+    from sudoku_vision_tpu.pipeline.graph import perceive_at
+
+    mesh = mesh or make_mesh()
+    data_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, replicated)
+    t = None if temperature is None else jnp.float32(temperature)
+
+    @partial(
+        jax.jit,
+        in_shardings=(data_sharding,) * 4,
+        out_shardings=(data_sharding,) * 3,
+    )
+    def fn(imgs, corners, bys, bxs):
+        out = jax.vmap(
+            lambda im, c, by, bx: perceive_at(
+                im, c, by, bx, model, variables, temperature=t,
+                use_clahe=use_clahe, packed_bgr=packed_bgr)
+        )(imgs, corners, bys, bxs)
+        return out.digits, out.confidence, out.probs
 
     return fn, mesh
 

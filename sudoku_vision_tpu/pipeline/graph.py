@@ -38,6 +38,8 @@ class PerceptionOutput(NamedTuple):
     grid_found: jnp.ndarray    # () bool
     cells: jnp.ndarray         # (81, 28, 28) uint8 raw cell crops
     orientation: jnp.ndarray   # () int32 quarter-turns CCW applied (0..3)
+    boundaries_y: jnp.ndarray  # (10,) float32 refined warp-space rows
+    boundaries_x: jnp.ndarray  # (10,) float32 refined warp-space cols
 
 
 def perceive(
@@ -234,10 +236,13 @@ def perceive(
     raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     digits = jnp.where(empty, 0, raw_digits)
     conf = jnp.where(empty, 1.0, probs.max(axis=-1))
+    nominal = jnp.arange(10, dtype=jnp.float32) * (warp_size / 9.0)
     return PerceptionOutput(
         logits=logits, probs=probs, digits=digits, confidence=conf,
         empty_mask=empty, corners=corners, grid_found=det.found,
-        cells=cells, orientation=orientation)
+        cells=cells, orientation=orientation,
+        boundaries_y=nominal if b_y is None else b_y,
+        boundaries_x=nominal if b_x is None else b_x)
 
 
 def _accepts_temperature(model) -> bool:
@@ -252,3 +257,87 @@ def _accepts_temperature(model) -> bool:
 def perceive_batch(imgs: jnp.ndarray, model, variables, **kw):
     """vmap of perceive over a leading frame axis (N, H, W[, 3])."""
     return jax.vmap(lambda im: perceive(im, model, variables, **kw))(imgs)
+
+
+def perceive_at(
+    img: jnp.ndarray,
+    corners: jnp.ndarray,
+    boundaries_y: jnp.ndarray,
+    boundaries_x: jnp.ndarray,
+    model,
+    variables,
+    warp_size: int = 450,
+    cell_size: int = 28,
+    temperature=None,
+    use_clahe: bool = True,
+    cell_width: int = 950,
+    sample_mode: str = "scanline",
+    packed_bgr: bool = False,
+) -> PerceptionOutput:
+    """Perception with detection SKIPPED: warp -> extract -> CNN from
+    corners + refined boundaries produced by a previous full
+    ``perceive`` of the same scene.
+
+    The temporal-reuse fast path for streaming sessions: once the
+    corner stabilizer is locked and the motion gate is quiet, the
+    corners CANNOT have moved — yet detection (the most expensive
+    stage, ~40% of the frame budget) was re-run on every frame. The
+    reference built exactly this state machine (reference
+    cv/stabilizer.py:161 Kalman lock, :251 MotionDetector pause,
+    ios ScanPipeline.swift:245 3-stable-frames gate) but never used it
+    to skip work. Sessions fall back to the full graph on motion,
+    instability, or a digits change (serve.server.ScanSession).
+
+    Fixed orientation only: a locked scene's orientation was resolved
+    at lock time; orient="auto" engines keep the full graph.
+    """
+    if img.ndim == 3 or packed_bgr:
+        if packed_bgr:
+            assert img.ndim == 2 and img.shape[1] % 3 == 0, img.shape
+            gh, gw = img.shape[0], img.shape[1] // 3
+            from sudoku_vision_tpu.ops.pallas_pool import \
+                pooled_gray_packed
+
+            def pool(x, f):
+                return pooled_gray_packed(x, f)
+        else:
+            gh, gw = img.shape[:2]
+            pool = ops.pooled_gray
+        ds = max(1, round(max(gh, gw) / cell_width))
+        small = pool(img, ds)
+    else:
+        from sudoku_vision_tpu.cv.grid import _avg_pool
+
+        gh, gw = img.shape
+        ds = max(1, round(max(gh, gw) / cell_width))
+        small = jnp.clip(jnp.rint(_avg_pool(img, ds)),
+                         0, 255).astype(jnp.uint8)
+
+    corners = jnp.asarray(corners, jnp.float32)
+    m = ops.homography_from_corners(corners, (warp_size, warp_size))
+    m_inv = jnp.linalg.inv(m)
+    off = (ds - 1) / 2.0
+    m_inv_small = jnp.stack([
+        (m_inv[0] - off * m_inv[2]) / ds,
+        (m_inv[1] - off * m_inv[2]) / ds,
+        m_inv[2],
+    ])
+    b_y = jnp.asarray(boundaries_y, jnp.float32)
+    b_x = jnp.asarray(boundaries_x, jnp.float32)
+    cells = extract_cells(small, m_inv_small, warp_size, cell_size,
+                          boundaries_y=b_y, boundaries_x=b_x,
+                          sample_mode=sample_mode)
+    empty = cells_empty_mask(cells)
+    x = preprocess_cells_for_model(cells, use_clahe)
+    logits = (model.apply(variables, x, temperature=temperature)
+              if _accepts_temperature(model)
+              else model.apply(variables, x))
+    probs = jax.nn.softmax(logits, axis=-1)
+    raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    digits = jnp.where(empty, 0, raw_digits)
+    conf = jnp.where(empty, 1.0, probs.max(axis=-1))
+    return PerceptionOutput(
+        logits=logits, probs=probs, digits=digits, confidence=conf,
+        empty_mask=empty, corners=corners,
+        grid_found=jnp.bool_(True), cells=cells,
+        orientation=jnp.int32(0), boundaries_y=b_y, boundaries_x=b_x)

@@ -144,7 +144,15 @@ class MicroBatcher:
             bucket = next(b for b in self._buckets if b >= len(frames))
             padded = frames + [frames[0]] * (bucket - len(frames))
             try:
-                outs = self._runner(np.stack(padded))
+                # A payload may be a TUPLE of per-frame arrays (the
+                # temporal-reuse fast path ships frame + corners +
+                # boundaries); each component stacks independently.
+                if isinstance(padded[0], tuple):
+                    outs = self._runner(*(
+                        np.stack([p[k] for p in padded])
+                        for k in range(len(padded[0]))))
+                else:
+                    outs = self._runner(np.stack(padded))
             except Exception as e:  # propagate to every waiter
                 for _, slot in batch:
                     slot["error"] = e
@@ -190,6 +198,8 @@ class InferenceEngine:
             self.mesh = None
         self.buckets = tuple(sorted(set(buckets)))
         self.batcher = MicroBatcher(self._run_batch, self.buckets, window_ms)
+        self.fast_batcher = MicroBatcher(self._run_batch_at, self.buckets,
+                                         window_ms)
         if prewarm:
             threading.Thread(target=self._prewarm, daemon=True).start()
 
@@ -226,9 +236,48 @@ class InferenceEngine:
                         use_clahe=uc, orient=orient,
                         packed_bgr=True))(imgs)
                     return (out.digits, out.confidence, out.probs,
-                            out.corners, out.grid_found)
+                            out.corners, out.grid_found,
+                            out.boundaries_y, out.boundaries_x)
 
             self._fns[b] = fn
+            return fn
+
+    def _fn_at_for(self, b: int):
+        """Jitted temporal-reuse graph: warp -> extract -> CNN at GIVEN
+        corners + boundaries (detection skipped; see
+        pipeline/graph.py::perceive_at)."""
+        import jax
+
+        from sudoku_vision_tpu.pipeline.graph import perceive_at
+
+        with self._fn_lock:
+            key = ("at", b)
+            if key in self._fns:
+                return self._fns[key]
+            model, variables = self.model, self.variables
+            import jax.numpy as jnp
+
+            t = jnp.float32(self.temperature)
+            uc = self.use_clahe
+            if self.mesh is not None:
+                from sudoku_vision_tpu.parallel.shard import (
+                    sharded_perceive_at_fn,
+                )
+
+                fn, _ = sharded_perceive_at_fn(
+                    model, variables, self.mesh,
+                    temperature=self.temperature, use_clahe=uc,
+                    packed_bgr=True)
+            else:
+                @jax.jit
+                def fn(imgs, corners, bys, bxs):
+                    out = jax.vmap(lambda im, c, by, bx: perceive_at(
+                        im, c, by, bx, model, variables, temperature=t,
+                        use_clahe=uc, packed_bgr=True))(imgs, corners,
+                                                        bys, bxs)
+                    return out.digits, out.confidence, out.probs
+
+            self._fns[key] = fn
             return fn
 
     def _run_batch(self, frames: np.ndarray):
@@ -244,11 +293,37 @@ class InferenceEngine:
             from sudoku_vision_tpu.parallel.shard import device_put_frames
 
             dev = device_put_frames(dev, self.mesh)
-        digits, conf, probs, corners, found = fn(dev)
+        digits, conf, probs, corners, found, bys, bxs = fn(dev)
         # One fetch per output; np.asarray is the sync point (axon's
         # block_until_ready is a no-op — always fetch what you need).
         return (np.asarray(digits), np.asarray(conf), np.asarray(probs),
-                np.asarray(corners), np.asarray(found))
+                np.asarray(corners), np.asarray(found),
+                np.asarray(bys), np.asarray(bxs))
+
+    def _run_batch_at(self, frames: np.ndarray, corners: np.ndarray,
+                      bys: np.ndarray, bxs: np.ndarray):
+        """Temporal-reuse device call: detection skipped."""
+        import jax.numpy as jnp
+
+        b, fh, fw = frames.shape[:3]
+        fn = self._fn_at_for(b)
+        args = (jnp.asarray(frames.reshape(b, fh, fw * 3)),
+                jnp.asarray(corners, jnp.float32),
+                jnp.asarray(bys, jnp.float32),
+                jnp.asarray(bxs, jnp.float32))
+        if self.mesh is not None:
+            from sudoku_vision_tpu.parallel.shard import device_put_frames
+
+            args = tuple(device_put_frames(a, self.mesh) for a in args)
+        digits, conf, probs = fn(*args)
+        return (np.asarray(digits), np.asarray(conf), np.asarray(probs))
+
+    @property
+    def supports_fast_path(self) -> bool:
+        """Temporal reuse is fixed-orientation only: a locked scene's
+        orientation was resolved at lock time, and orient='auto'
+        engines keep the full graph."""
+        return self.orient == "fixed"
 
     def _prewarm(self):
         ch, cw = self.canonical
@@ -256,6 +331,19 @@ class InferenceEngine:
             try:
                 self._run_batch(np.full((b, ch, cw, 3), PAD_GRAY, np.uint8))
                 self._warm.add(b)
+            except Exception:
+                pass
+        if not self.supports_fast_path:
+            return
+        corners = np.array([[10, 10], [cw - 10, 10], [cw - 10, ch - 10],
+                            [10, ch - 10]], np.float32)
+        bnd = (np.arange(10, dtype=np.float32) * 50.0)
+        for b in self.buckets:
+            try:
+                self._run_batch_at(
+                    np.full((b, ch, cw, 3), PAD_GRAY, np.uint8),
+                    np.tile(corners, (b, 1, 1)),
+                    np.tile(bnd, (b, 1)), np.tile(bnd, (b, 1)))
             except Exception:
                 pass
 
@@ -268,7 +356,7 @@ class InferenceEngine:
     def scan(self, img_bgr: np.ndarray, top_k: int = 3) -> dict:
         t0 = time.perf_counter()
         canvas, scale, (off_x, off_y) = letterbox(img_bgr, self.canonical)
-        digits, conf, probs, corners, found, n_coalesced = \
+        digits, conf, probs, corners, found, _by, _bx, n_coalesced = \
             self.batcher.submit(canvas)
         t1 = time.perf_counter()
 
@@ -393,6 +481,10 @@ class ScanSession:
         self.n_frames = 0
         self.last_used = time.monotonic()
         self._lock = threading.Lock()
+        # Temporal reuse: locked corners + refined boundaries (canvas
+        # coords) from the last stable full detect; None = full graph.
+        self.locked: dict | None = None
+        self.redetect_every = 8
 
     def process(self, img_bgr: np.ndarray) -> dict:
         with self._lock:
@@ -414,22 +506,56 @@ class ScanSession:
         if self.motion.update(gray):
             self.run = 0
             self.prev_digits = None
+            self.locked = None         # corners may move: re-detect
             out["state"] = "motion"
             out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
             return out
 
-        digits, conf, probs, corners, found, _ = \
-            self.engine.batcher.submit(canvas)
-        digits = digits.reshape(81).astype(np.int64)
-        found = bool(found)
+        # Temporal-reuse fast path: the stabilizer locked the corners
+        # and the motion gate is quiet, so detection (~40% of the frame
+        # budget) cannot produce anything new — run only
+        # warp->extract->CNN at the locked corners + boundaries
+        # (pipeline/graph.py::perceive_at). A full detect still runs
+        # every `redetect_every` frames as drift insurance, and any
+        # digits change on the fast path drops the lock (a scene could
+        # in principle change without tripping the motion gate).
+        use_fast = (self.locked is not None
+                    and self.n_frames % self.redetect_every != 0)
+        if use_fast:
+            digits, conf, probs = self.engine.fast_batcher.submit(
+                (canvas, self.locked["corners"],
+                 self.locked["b_y"], self.locked["b_x"]))[:3]
+            digits = digits.reshape(81).astype(np.int64)
+            found = True
+            corners_canvas = self.locked["corners"]
+            out["detect_skipped"] = True
+            out["corners_stable"] = True
+            if (self.prev_digits is not None
+                    and not np.array_equal(digits, self.prev_digits)):
+                self.locked = None     # verify with a full detect next
+        else:
+            digits, conf, probs, corners, found, b_y, b_x, _ = \
+                self.engine.batcher.submit(canvas)
+            digits = digits.reshape(81).astype(np.int64)
+            found = bool(found)
 
-        stab = self.stabilizer.update(np.asarray(corners, np.float32),
-                                      found)
-        corners_sm = (np.asarray(stab.corners, np.float64)
+            stab = self.stabilizer.update(np.asarray(corners, np.float32),
+                                          found)
+            corners_canvas = np.asarray(stab.corners, np.float32)
+            out["corners_stable"] = bool(stab.is_stable)
+            if (found and stab.is_stable
+                    and self.engine.supports_fast_path):
+                self.locked = {"corners": corners_canvas,
+                               "b_y": np.asarray(b_y, np.float32),
+                               "b_x": np.asarray(b_x, np.float32)}
+            else:
+                self.locked = None
+
+        corners_sm = (np.asarray(corners_canvas, np.float64)
                       - np.array([off_x, off_y])) / scale
         out["grid_found"] = found
         out["corners"] = corners_sm.round(1).tolist()
-        out["corners_stable"] = bool(stab.is_stable)
+        out.setdefault("corners_stable", self.locked is not None)
 
         if not found:
             self.run = 0

@@ -47,7 +47,7 @@ def test_sharded_matches_single_device(small_frames, tiny_model):
     fn, mesh = sharded_perceive_fn(model, variables, mesh,
                                    use_clahe=False)
     sharded_in = device_put_frames(jnp.asarray(small_frames), mesh)
-    digits_s, conf_s, probs_s, corners_s, found_s = fn(sharded_in)
+    digits_s, conf_s, probs_s, corners_s, found_s, *_ = fn(sharded_in)
 
     @jax.jit
     def single(imgs):
@@ -76,7 +76,7 @@ def test_tensor_parallel_perception_matches(small_frames, tiny_model):
     fn, mesh = sharded_perceive_fn(model, variables, mesh,
                                    use_clahe=False, tensor_parallel=True)
     sharded_in = device_put_frames(jnp.asarray(small_frames), mesh)
-    digits_tp, conf_tp, probs_tp, corners_tp, found_tp = fn(sharded_in)
+    digits_tp, conf_tp, probs_tp, corners_tp, found_tp, *_ = fn(sharded_in)
 
     # The TP rules must actually shard at least one kernel over "model".
     from sudoku_vision_tpu.parallel.mesh import param_sharding_rules

@@ -225,6 +225,7 @@ def test_session_motion_gate_skips_device_work(server):
     base, engine = server
     frames, _, truth = _jittered_frames(n=6, seed=12)
     calls_before = engine.batcher.stats["frames"]
+    fast_before = engine.fast_batcher.stats["frames"]
     r1 = _post(base, "/scan?session=s-motion", _jpeg(frames[0]))
     assert r1["state"] in ("stabilizing", "searching")
     # violent scene change -> motion gate
@@ -239,10 +240,83 @@ def test_session_motion_gate_skips_device_work(server):
     rs = [_post(base, "/scan?session=s-motion", _jpeg(f))
           for f in frames[3:]]
     assert rs[0].get("stable_run") in (None, 1)
-    # motion frames did NOT hit the device graph
-    frames_used = engine.batcher.stats["frames"] - calls_before
+    # motion frames did NOT hit the device graph (full OR fast: once
+    # the stabilizer locks, still frames ride the detection-free fast
+    # graph — both count as perception work here)
+    frames_used = (engine.batcher.stats["frames"] - calls_before
+                   + engine.fast_batcher.stats["frames"] - fast_before)
     assert frames_used == 1 + len(rs), (
         "motion frames must skip the perception graph")
+
+
+def test_session_temporal_reuse_skips_detection_when_locked(server):
+    """VERDICT r4 #4: once the stabilizer locks and the motion gate is
+    quiet, frames must run the detection-free fast graph
+    (pipeline/graph.py::perceive_at) — same digits, same solve, detect
+    stage skipped — with a periodic full re-detect as drift insurance
+    and instant fallback on motion."""
+    base, engine = server
+    jpeg, truth = _scene_jpeg(seed=31)
+    full0 = engine.batcher.stats["frames"]
+    fast0 = engine.fast_batcher.stats["frames"]
+    results = [_post(base, "/scan?session=s-reuse", jpeg)
+               for _ in range(10)]
+    # stabilizer locks after 3 detections; every following frame except
+    # the periodic re-detect (frame 8 of 10) skips detection
+    skipped = [bool(r.get("detect_skipped")) for r in results]
+    assert not any(skipped[:3])
+    assert sum(skipped) >= 5, skipped
+    assert sum(1 for s in skipped if not s) <= 4
+    full_used = engine.batcher.stats["frames"] - full0
+    fast_used = engine.fast_batcher.stats["frames"] - fast0
+    assert full_used == len(results) - sum(skipped)
+    assert fast_used == sum(skipped)
+    # identical recognition + exactly one solve across both graph paths
+    recs = {r["recognized_grid"] for r in results if "recognized_grid"
+            in r}
+    assert recs == {truth["puzzle"]}
+    assert sum(r["solved_now"] for r in results) == 1
+    solved = [r for r in results if r.get("state") == "solved"]
+    assert all(r["solution"] == truth["solution"] for r in solved)
+    # motion drops the lock -> next frame is a full detect again
+    moved = 255 - np.asarray(
+        Image.open(io.BytesIO(jpeg)).convert("RGB"))[..., ::-1]
+    r_m = _post(base, "/scan?session=s-reuse", _jpeg(moved))
+    assert r_m["state"] == "motion"
+    r_back = _post(base, "/scan?session=s-reuse", jpeg)
+    assert not r_back.get("detect_skipped")
+
+
+def test_perceive_at_matches_full_graph():
+    """The fast graph must reproduce the full graph's reading exactly
+    when fed the corners + boundaries the full graph produced (same
+    pooled image, same sampling chain -> bit-identical digits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sudoku_vision_tpu.pipeline.graph import perceive, perceive_at
+    from sudoku_vision_tpu.pipeline.run_v2 import load_model
+
+    model, variables, temperature, _, use_clahe = load_model("v3")
+    rng = random.Random(77)
+    img, truth = render_scene(rng, size=CANONICAL,
+                              category="printed_clean")
+    packed = jnp.asarray(img.reshape(CANONICAL[0], CANONICAL[1] * 3))
+    t = jnp.float32(temperature)
+    full = jax.jit(lambda im: perceive(
+        im, model, variables, temperature=t, use_clahe=use_clahe,
+        packed_bgr=True))(packed)
+    assert bool(full.grid_found)
+    fast = jax.jit(lambda im, c, by, bx: perceive_at(
+        im, c, by, bx, model, variables, temperature=t,
+        use_clahe=use_clahe, packed_bgr=True))(
+        packed, full.corners, full.boundaries_y, full.boundaries_x)
+    np.testing.assert_array_equal(np.asarray(full.digits),
+                                  np.asarray(fast.digits))
+    np.testing.assert_array_equal(np.asarray(full.cells),
+                                  np.asarray(fast.cells))
+    np.testing.assert_allclose(np.asarray(full.probs),
+                               np.asarray(fast.probs), atol=1e-5)
 
 
 def test_session_isolated_from_single_shot(server):
