@@ -141,6 +141,33 @@ def main() -> int:
     b1_p50 = lats[len(lats) // 2]
     b1_p95 = lats[int(len(lats) * 0.95)]
 
+    # Streaming operating point (VERDICT r4 #5): batch-1 frames with D
+    # dispatches IN FLIGHT — the live-session rate when submission is
+    # double-buffered instead of submit->wait->submit. If the tunnel
+    # overlaps dispatches, this approaches compute-bound fps; if it
+    # serializes them, it stays at ~1000/b1_p50 and that is the
+    # measured negative.
+    def stream_window(seconds: float, depth: int = 4) -> float:
+        inflight = []
+        for _ in range(depth):
+            r = fn1(one)
+            r[0].copy_to_host_async()
+            inflight.append(r)
+        t0 = time.perf_counter()
+        iters = 0
+        while time.perf_counter() - t0 < seconds or iters < 8:
+            r = fn1(one)
+            r[0].copy_to_host_async()
+            inflight.append(r)
+            np.asarray(inflight.pop(0)[0])
+            iters += 1
+        for r in inflight:
+            np.asarray(r[0])
+            iters += 1
+        return iters / (time.perf_counter() - t0)
+
+    stream_fps = max(stream_window(3.0) for _ in range(3))
+
     # Decomposition (round-4 measurement): the batch-1 number is the
     # harness's dispatch round-trip, not the graph. A TRIVIAL jit (x+1
     # on 4 ints) costs the same ~25 ms dispatch+fetch through the axon
@@ -160,7 +187,9 @@ def main() -> int:
         np.asarray(_triv(tiny))
         floor.append((time.perf_counter() - t0) * 1e3)
     floor.sort()
-    b1_floor = floor[len(floor) // 2]
+    # Clamp to the batch-1 p50: under heavy tunnel load the two small
+    # samples can cross (the floor IS part of the b1 round-trip).
+    b1_floor = min(floor[len(floor) // 2], b1_p50)
 
     print(json.dumps({
         "metric": "frames/sec image->classified 81-digit grid "
@@ -173,6 +202,7 @@ def main() -> int:
         "per_frame_ms": round(1e3 / fps, 3),
         "batch1_p50_ms": round(b1_p50, 2),
         "batch1_p95_ms": round(b1_p95, 2),
+        "stream_fps": round(stream_fps, 2),
         "batch1_dispatch_floor_ms": round(b1_floor, 2),
         "batch1_compute_ms": round(b1_p50 - b1_floor, 2),
         "n_distinct_frames": len(frames),

@@ -47,6 +47,11 @@ def refine_boundaries(
     window: int = 16,
     n_along: int = 36,
     n_across: int = 9,
+    comb: bool = True,
+    comb_step: float = 4.0,
+    comb_along: int = 8,
+    comb_astep: float = 3.0,
+    comb_dstep: float = 1.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Snap the 10 nominal grid-line positions to the detected lattice.
 
@@ -95,105 +100,135 @@ def refine_boundaries(
         * (warp_size / n_along)                             # (L,)
     m = jnp.asarray(m_inv, jnp.float32)
 
-    def sample_lat(lat, gx, gy):
-        """Lattice mass at warped coords (broadcasted gx/gy)."""
+    # BOTH axes ride every gather together (axis 0 = horizontal lines
+    # in lat_h, axis 1 = vertical lines in lat_v): the two lattices
+    # stack into one flat table and the axis index folds into the
+    # gather offset. Per-axis sampling ran refine at 2x the kernel
+    # launches for the same element count (raced on TPU, round 5:
+    # fusing the axes + the coarser comb profile params recovers about
+    # half of the comb's 0.024 ms/frame cost). comb_step 4 px is the
+    # COARSEST profile that still engages on the stolen-edge fixture
+    # (3 px lines vanish into an 8 px-bin profile and the engage
+    # margin dies — tests/test_grid_detect.py); don't raise it for
+    # throughput without re-running that test and the s121 sweep.
+    h, w = lat_h.shape
+    flat2 = jnp.concatenate([
+        lat_h.reshape(-1).astype(jnp.float32),
+        lat_v.reshape(-1).astype(jnp.float32)])
+    ax_base = (jnp.arange(2) * (h * w)).astype(jnp.int32)
+
+    def sample_axes(gx, gy):
+        """(2, ...) warped coords -> lattice mass, axis k from table k."""
         den = m[2, 0] * gx + m[2, 1] * gy + m[2, 2]
         sx = (m[0, 0] * gx + m[0, 1] * gy + m[0, 2]) / den / ds
         sy = (m[1, 0] * gx + m[1, 1] * gy + m[1, 2]) / den / ds
-        h, w = lat.shape
         xi = jnp.clip(jnp.rint(sx).astype(jnp.int32), 0, w - 1)
         yi = jnp.clip(jnp.rint(sy).astype(jnp.int32), 0, h - 1)
         inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
-        return jnp.where(inb, jnp.take(
-            lat.reshape(-1).astype(jnp.float32),
-            (yi * w + xi).reshape(-1)).reshape(yi.shape), 0.0)
+        base = ax_base.reshape((2,) + (1,) * (gx.ndim - 1))
+        idx = (base + yi * w + xi).reshape(-1)
+        return jnp.where(inb, jnp.take(flat2, idx).reshape(gx.shape), 0.0)
 
-    def comb_anchors(lat, horizontal: bool):
-        """Best 10-line arithmetic comb on a coarse mass profile."""
-        step, margin, n_pal = 3.0, 57.0, 12
+    def swapstack(a0x, a0y):
+        """Coords for axis 0 as (x, y); axis 1 gets them SWAPPED (a
+        horizontal line varies y across / x along; vertical vice
+        versa). Returns (gx, gy) each (2, ...)."""
+        shape = jnp.broadcast_shapes(a0x.shape, a0y.shape)
+        bx = jnp.broadcast_to(a0x, shape)
+        by = jnp.broadcast_to(a0y, shape)
+        return jnp.stack([bx, by]), jnp.stack([by, bx])
+
+    def comb_anchors():
+        """Best 10-line arithmetic comb per axis on coarse profiles."""
+        step, margin, n_pal = comb_step, 57.0, comb_along
         xs = jnp.arange(-margin, warp_size + margin + 1, step,
                         dtype=jnp.float32)                  # (P,)
         pal = (jnp.arange(n_pal, dtype=jnp.float32) + 0.5) \
             * (warp_size / n_pal)
-        if horizontal:
-            prof = sample_lat(lat, pal[None, :], xs[:, None]).mean(axis=1)
-        else:
-            prof = sample_lat(lat, xs[:, None], pal[None, :]).mean(axis=1)
-        # Triangle smoothing (radius 1 bin = 3 px) tolerates comb
-        # quantization and curvature smear.
+        gx, gy = swapstack(pal[None, :], xs[:, None])
+        prof = sample_axes(gx, gy).mean(axis=2)             # (2, P)
+        # Triangle smoothing tolerates comb quantization + curve smear.
         prof = (prof
-                + 0.5 * jnp.pad(prof, (1, 0))[:-1]
-                + 0.5 * jnp.pad(prof, (0, 1))[1:]) / 2.0
+                + 0.5 * jnp.pad(prof, ((0, 0), (1, 0)))[:, :-1]
+                + 0.5 * jnp.pad(prof, ((0, 0), (0, 1)))[:, 1:]) / 2.0
 
         def comb_score(a, d):
             pos = a[..., None] + d[..., None] * jnp.arange(
                 10, dtype=jnp.float32)
-            fi = jnp.clip((pos + margin) / step, 0.0, prof.shape[0] - 1.001)
+            fi = jnp.clip((pos + margin) / step, 0.0,
+                          prof.shape[1] - 1.001)
             i0 = jnp.floor(fi).astype(jnp.int32)
             t = fi - i0
-            tap = prof[i0] * (1 - t) + prof[i0 + 1] * t
+            tap = (jnp.take(prof, i0, axis=1) * (1 - t)
+                   + jnp.take(prof, i0 + 1, axis=1) * t)   # (2, ..., 10)
             # Deviation prior: endpoints' distance from the corners.
             dev = jnp.abs(pos[..., 0]) + jnp.abs(pos[..., 9] - warp_size)
             return tap.sum(-1) - 0.006 * dev
 
-        a_vals = jnp.arange(-57.0, 58.0, 3.0, dtype=jnp.float32)
-        d_vals = jnp.arange(36.0, 56.01, 0.5, dtype=jnp.float32)
-        sc = comb_score(a_vals[:, None], d_vals[None, :])   # (A, D)
-        best = jnp.argmax(sc)
+        a_vals = jnp.arange(-57.0, 58.0, comb_astep, dtype=jnp.float32)
+        d_vals = jnp.arange(36.0, 56.01, comb_dstep, dtype=jnp.float32)
+        sc = comb_score(a_vals[:, None], d_vals[None, :])   # (2, A, D)
+        flat = sc.reshape(2, -1)
+        best = jnp.argmax(flat, axis=1)                     # (2,)
         a_b = a_vals[best // d_vals.shape[0]]
         d_b = d_vals[best % d_vals.shape[0]]
-        sc_nom = comb_score(jnp.float32(0.0), jnp.float32(warp_size / 9.0))
-        engage = sc.reshape(-1)[best] >= sc_nom + 2.0
-        comb = a_b + d_b * jnp.arange(10, dtype=jnp.float32)
-        return jnp.where(engage, comb, nominal)
+        sc_nom = comb_score(jnp.float32(0.0),
+                            jnp.float32(warp_size / 9.0))   # (2,)
+        engage = (jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+                  >= sc_nom + 2.0)
+        combp = (a_b[:, None] + d_b[:, None]
+                 * jnp.arange(10, dtype=jnp.float32))       # (2, 10)
+        return jnp.where(engage[:, None], combp, nominal[None, :])
 
-    def band_centroids(lat, horizontal: bool):
-        anchors = comb_anchors(lat, horizontal)             # (10,)
-        across = anchors[:, None] + offs[None, :]           # (10, A)
-        # Warp coords: horizontal lines vary y across, x along.
-        if horizontal:
-            gy = across[:, :, None]                         # (10, A, 1)
-            gx = along[None, None, :]                       # (1, 1, L)
-        else:
-            gx = across[:, :, None]
-            gy = along[None, None, :]
-        v = sample_lat(lat, gx, gy)
-        mass_a = v.mean(axis=2)                             # (10, A)
-        mass_full = mass_a.sum(axis=1)
-        cent_full = ((mass_a * across).sum(axis=1)
-                     / jnp.maximum(mass_full, 1e-6))
-        # OUTER boundaries (0 and 9) get a decoy-robust snap: a straight
-        # line on the page margin (a pen, the page edge) inside the
-        # +-window band adds an off-nominal mass peak, and the plain
-        # whole-band centroid drifts toward it (measured: a synthetic
-        # pen 0.3 cells outside the bottom edge pulled the outer
-        # boundary ~7 px out, silently shifting every crop in the
-        # border row). Only the outer two bands are exposed — an
-        # interior band sits >= 50 px - window inside the grid, beyond
-        # any outside decoy's reach — so interior boundaries keep the
-        # full centroid (real page curvature bows them ~10 px, and a
-        # narrow snap measurably breaks the golden photos). Rule:
-        # smooth the per-offset mass, take the bin NEAREST THE ANCHOR
-        # among bins >= 50% of the peak (the true outer line passes
-        # within the corner-pinned homography's few px of its anchor
-        # at the span ends), centroid its +-2-bin (+-8 px) neighborhood.
-        sm = (mass_a
-              + 0.5 * jnp.pad(mass_a, ((0, 0), (1, 0)))[:, :-1]
-              + 0.5 * jnp.pad(mass_a, ((0, 0), (0, 1)))[:, 1:])
-        strong = sm >= 0.5 * jnp.max(sm, axis=1, keepdims=True)
-        a_idx = jnp.arange(offs.shape[0])
-        dist = jnp.where(strong, jnp.abs(offs)[None, :], jnp.inf)
-        j = jnp.argmin(dist, axis=1)                        # (10,)
-        nb = jnp.abs(a_idx[None, :] - j[:, None]) <= 2
-        m_nb = jnp.where(nb, mass_a, 0.0)
-        mass_nb = m_nb.sum(axis=1)
-        cent_nb = (m_nb * across).sum(axis=1) / jnp.maximum(mass_nb, 1e-6)
-        outer = (jnp.arange(10) == 0) | (jnp.arange(10) == 9)
-        mass = jnp.where(outer, mass_nb, mass_full)
-        cent = jnp.where(outer, cent_nb, cent_full)
-        return jnp.where(mass > 0.25, cent, anchors)
-
-    return band_centroids(lat_h, True), band_centroids(lat_v, False)
+    anchors = (comb_anchors() if comb
+               else jnp.broadcast_to(nominal, (2, 10)))     # (2, 10)
+    across = anchors[:, :, None] + offs[None, None, :]      # (2, 10, A)
+    # axis-0 coords: y varies across, x along; axis 1 swapped — but
+    # `across` itself DIFFERS per axis, so build explicitly:
+    a0 = across[0][:, :, None]                              # (10, A, 1)
+    a1 = across[1][:, :, None]
+    al = along[None, None, :]                               # (1, 1, L)
+    shape = jnp.broadcast_shapes(a0.shape, al.shape)
+    gx = jnp.stack([jnp.broadcast_to(al, shape),
+                    jnp.broadcast_to(a1, shape)])
+    gy = jnp.stack([jnp.broadcast_to(a0, shape),
+                    jnp.broadcast_to(al, shape)])
+    v = sample_axes(gx, gy)                                 # (2, 10, A, L)
+    mass_a = v.mean(axis=3)                                 # (2, 10, A)
+    mass_full = mass_a.sum(axis=2)
+    cent_full = ((mass_a * across).sum(axis=2)
+                 / jnp.maximum(mass_full, 1e-6))
+    # OUTER boundaries (0 and 9) get a decoy-robust snap: a straight
+    # line on the page margin (a pen, the page edge) inside the
+    # +-window band adds an off-nominal mass peak, and the plain
+    # whole-band centroid drifts toward it (measured: a synthetic
+    # pen 0.3 cells outside the bottom edge pulled the outer
+    # boundary ~7 px out, silently shifting every crop in the
+    # border row). Only the outer two bands are exposed — an
+    # interior band sits >= 50 px - window inside the grid, beyond
+    # any outside decoy's reach — so interior boundaries keep the
+    # full centroid (real page curvature bows them ~10 px, and a
+    # narrow snap measurably breaks the golden photos). Rule:
+    # smooth the per-offset mass, take the bin NEAREST THE ANCHOR
+    # among bins >= 50% of the peak (the true outer line passes
+    # within the corner-pinned homography's few px of its anchor
+    # at the span ends), centroid its +-2-bin (+-8 px) neighborhood.
+    sm = (mass_a
+          + 0.5 * jnp.pad(mass_a, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+          + 0.5 * jnp.pad(mass_a, ((0, 0), (0, 0), (0, 1)))[:, :, 1:])
+    strong = sm >= 0.5 * jnp.max(sm, axis=2, keepdims=True)
+    a_idx = jnp.arange(offs.shape[0])
+    dist = jnp.where(strong, jnp.abs(offs)[None, None, :], jnp.inf)
+    j = jnp.argmin(dist, axis=2)                            # (2, 10)
+    nb = jnp.abs(a_idx[None, None, :] - j[:, :, None]) <= 2
+    m_nb = jnp.where(nb, mass_a, 0.0)
+    mass_nb = m_nb.sum(axis=2)
+    cent_nb = (m_nb * across).sum(axis=2) / jnp.maximum(mass_nb, 1e-6)
+    outer = (jnp.arange(10) == 0) | (jnp.arange(10) == 9)
+    mass = jnp.where(outer[None, :], mass_nb, mass_full)
+    cent = jnp.where(outer[None, :], cent_nb, cent_full)
+    refined = jnp.where(mass > 0.25, cent, anchors)         # (2, 10)
+    return refined[0], refined[1]
 
 
 def cells_empty_mask(

@@ -171,7 +171,8 @@ class InferenceEngine:
     def __init__(self, model_name: str = "v3",
                  canonical: tuple[int, int] = DEFAULT_CANONICAL,
                  buckets=(1, 2, 4, 8), window_ms: float = 6.0,
-                 prewarm: bool = True, orient: str = "fixed"):
+                 prewarm: bool = True, orient: str = "fixed",
+                 n_devices: int | None = None):
         import jax
 
         from sudoku_vision_tpu.pipeline.run_v2 import load_model
@@ -186,7 +187,10 @@ class InferenceEngine:
         self._fn_lock = threading.Lock()
         self._warm: set[int] = set()
 
-        self.n_devices = len(jax.devices())
+        # n_devices=1 forces the single-device graphs on a multi-device
+        # host (the virtual-mesh CI exercising the pipelined path).
+        self.n_devices = (len(jax.devices()) if n_devices is None
+                          else n_devices)
         if self.n_devices > 1:
             from sudoku_vision_tpu.parallel.mesh import make_mesh
 
@@ -324,6 +328,42 @@ class InferenceEngine:
         orientation was resolved at lock time, and orient='auto'
         engines keep the full graph."""
         return self.orient == "fixed"
+
+    @property
+    def supports_pipelined(self) -> bool:
+        """Pipelined sessions dispatch single frames directly (no
+        micro-batching), which needs the single-device graphs — mesh
+        buckets start at n_devices."""
+        return self.mesh is None
+
+    def dispatch_frame(self, canvas: np.ndarray, locked: dict | None):
+        """ASYNC single-frame dispatch: returns device handles
+        immediately (jax dispatch is asynchronous); the caller fetches
+        with np.asarray when the NEXT frame arrives. This is the
+        double-buffered live path: the measured ~24 ms tunnel
+        round-trip overlaps with the client's capture + handling of
+        the previous result instead of serializing behind it
+        (bench.py stream_fps: 168 vs ~40 fps submit-and-wait).
+        Bypasses the micro-batcher — a pipelined session trades
+        cross-client coalescing for intra-session overlap."""
+        import jax.numpy as jnp
+
+        fh, fw = canvas.shape[:2]
+        dev = jnp.asarray(canvas.reshape(1, fh, fw * 3))
+        if locked is not None:
+            fn = self._fn_at_for(1)
+            handles = fn(dev,
+                         jnp.asarray(locked["corners"], jnp.float32)[None],
+                         jnp.asarray(locked["b_y"], jnp.float32)[None],
+                         jnp.asarray(locked["b_x"], jnp.float32)[None])
+        else:
+            handles = self._fn_for(1)(dev)
+        for h in handles:
+            try:
+                h.copy_to_host_async()
+            except Exception:
+                pass
+        return handles
 
     def _prewarm(self):
         ch, cw = self.canonical
@@ -485,72 +525,70 @@ class ScanSession:
         # coords) from the last stable full detect; None = full graph.
         self.locked: dict | None = None
         self.redetect_every = 8
+        # Pipelined mode: the in-flight frame's device handles + meta
+        # (results lag dispatch by exactly one frame).
+        self._pending: dict | None = None
 
-    def process(self, img_bgr: np.ndarray) -> dict:
+    def process(self, img_bgr: np.ndarray,
+                pipelined: bool = False) -> dict:
         with self._lock:
+            if pipelined and self.engine.supports_pipelined:
+                return self._process_pipelined(img_bgr)
             return self._process(img_bgr)
 
-    def _process(self, img_bgr: np.ndarray) -> dict:
+    # -- shared pieces ----------------------------------------------------
+
+    def _begin(self, img_bgr):
         self.n_frames += 1
         self.last_used = time.monotonic()
         t0 = time.perf_counter()
-        canvas, scale, (off_x, off_y) = letterbox(img_bgr,
-                                                  self.engine.canonical)
-
+        canvas, scale, off = letterbox(img_bgr, self.engine.canonical)
         out: dict = {"frame": self.n_frames, "solved_now": False,
                      "required_stable": self.required_stable}
+        return t0, canvas, scale, off, out
 
-        # Motion gate BEFORE any device perception work (reference
-        # MotionDetector pauses processing; CameraManager frame-skip).
-        gray = canvas.mean(axis=2)
-        if self.motion.update(gray):
-            self.run = 0
-            self.prev_digits = None
-            self.locked = None         # corners may move: re-detect
-            out["state"] = "motion"
-            out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
-            return out
-
+    def _use_fast(self) -> bool:
         # Temporal-reuse fast path: the stabilizer locked the corners
-        # and the motion gate is quiet, so detection (~40% of the frame
-        # budget) cannot produce anything new — run only
+        # and the motion gate is quiet, so detection (~40% of the
+        # frame budget) cannot produce anything new — run only
         # warp->extract->CNN at the locked corners + boundaries
         # (pipeline/graph.py::perceive_at). A full detect still runs
         # every `redetect_every` frames as drift insurance, and any
         # digits change on the fast path drops the lock (a scene could
         # in principle change without tripping the motion gate).
-        use_fast = (self.locked is not None
-                    and self.n_frames % self.redetect_every != 0)
-        if use_fast:
-            digits, conf, probs = self.engine.fast_batcher.submit(
-                (canvas, self.locked["corners"],
-                 self.locked["b_y"], self.locked["b_x"]))[:3]
-            digits = digits.reshape(81).astype(np.int64)
-            found = True
-            corners_canvas = self.locked["corners"]
-            out["detect_skipped"] = True
-            out["corners_stable"] = True
-            if (self.prev_digits is not None
-                    and not np.array_equal(digits, self.prev_digits)):
-                self.locked = None     # verify with a full detect next
+        return (self.locked is not None
+                and self.n_frames % self.redetect_every != 0)
+
+    def _absorb_fast(self, digits, out, corners_at_dispatch):
+        digits = digits.reshape(81).astype(np.int64)
+        out["detect_skipped"] = True
+        out["corners_stable"] = True
+        if (self.prev_digits is not None
+                and not np.array_equal(digits, self.prev_digits)):
+            self.locked = None         # verify with a full detect next
+        return digits, True, corners_at_dispatch
+
+    def _absorb_full(self, digits, corners, found, b_y, b_x, out):
+        digits = digits.reshape(81).astype(np.int64)
+        found = bool(found)
+        stab = self.stabilizer.update(np.asarray(corners, np.float32),
+                                      found)
+        corners_canvas = np.asarray(stab.corners, np.float32)
+        out["corners_stable"] = bool(stab.is_stable)
+        if found and stab.is_stable and self.engine.supports_fast_path:
+            self.locked = {"corners": corners_canvas,
+                           "b_y": np.asarray(b_y, np.float32),
+                           "b_x": np.asarray(b_x, np.float32)}
         else:
-            digits, conf, probs, corners, found, b_y, b_x, _ = \
-                self.engine.batcher.submit(canvas)
-            digits = digits.reshape(81).astype(np.int64)
-            found = bool(found)
+            self.locked = None
+        return digits, found, corners_canvas
 
-            stab = self.stabilizer.update(np.asarray(corners, np.float32),
-                                          found)
-            corners_canvas = np.asarray(stab.corners, np.float32)
-            out["corners_stable"] = bool(stab.is_stable)
-            if (found and stab.is_stable
-                    and self.engine.supports_fast_path):
-                self.locked = {"corners": corners_canvas,
-                               "b_y": np.asarray(b_y, np.float32),
-                               "b_x": np.asarray(b_x, np.float32)}
-            else:
-                self.locked = None
-
+    def _post(self, out, digits, conf, probs, corners_canvas, found,
+              scale, off, t0):
+        """Everything after perception: corner mapping, the
+        identical-consecutive-grids gate (ScanPipeline.swift:245), and
+        the one-solve-per-stable-segment logic."""
+        off_x, off_y = off
         corners_sm = (np.asarray(corners_canvas, np.float64)
                       - np.array([off_x, off_y])) / scale
         out["grid_found"] = found
@@ -561,10 +599,10 @@ class ScanSession:
             self.run = 0
             self.prev_digits = None
             out["state"] = "searching"
-            out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+            out["time_total_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
             return out
 
-        # Identical-consecutive-grids gate (ScanPipeline.swift:245).
         if (self.prev_digits is not None
                 and np.array_equal(digits, self.prev_digits)):
             self.run += 1
@@ -594,6 +632,98 @@ class ScanSession:
             out["state"] = "stabilizing"
         out["time_total_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         return out
+
+    # -- synchronous mode (micro-batched, coalesces across clients) -------
+
+    def _process(self, img_bgr: np.ndarray) -> dict:
+        t0, canvas, scale, off, out = self._begin(img_bgr)
+
+        # Motion gate BEFORE any device perception work (reference
+        # MotionDetector pauses processing; CameraManager frame-skip).
+        if self.motion.update(canvas.mean(axis=2)):
+            self.run = 0
+            self.prev_digits = None
+            self.locked = None         # corners may move: re-detect
+            out["state"] = "motion"
+            out["time_total_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
+            return out
+
+        if self._use_fast():
+            corners0 = self.locked["corners"]
+            digits, conf, probs = self.engine.fast_batcher.submit(
+                (canvas, corners0,
+                 self.locked["b_y"], self.locked["b_x"]))[:3]
+            digits, found, corners_canvas = self._absorb_fast(
+                digits, out, corners0)
+        else:
+            digits, conf, probs, corners, found, b_y, b_x, _ = \
+                self.engine.batcher.submit(canvas)
+            digits, found, corners_canvas = self._absorb_full(
+                digits, corners, found, b_y, b_x, out)
+        return self._post(out, digits, conf, probs, corners_canvas,
+                          found, scale, off, t0)
+
+    # -- pipelined mode (double-buffered async dispatch) -------------------
+
+    def _process_pipelined(self, img_bgr: np.ndarray) -> dict:
+        """Dispatch THIS frame asynchronously, return the PREVIOUS
+        frame's completed result (VERDICT r4 #5): the ~24 ms device
+        round-trip of frame N overlaps the client's handling of frame
+        N-1's response and its capture of frame N+1, instead of
+        serializing the live loop at ~40 fps. Results lag dispatch by
+        one frame — invisible at live rates. Enabled per request via
+        /scan?session=<id>&pipeline=1."""
+        t0, canvas, scale, off, out = self._begin(img_bgr)
+        out["pipelined"] = True
+
+        if self.motion.update(canvas.mean(axis=2)):
+            if self._pending is not None:
+                self._drain_pending()
+            self.run = 0
+            self.prev_digits = None
+            self.locked = None
+            out["state"] = "motion"
+            out["time_total_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
+            return out
+
+        use_fast = (self._use_fast()
+                    and self.engine.supports_fast_path)
+        snapshot = self.locked if use_fast else None
+        handles = self.engine.dispatch_frame(canvas, snapshot)
+        entry = {"handles": handles, "use_fast": use_fast,
+                 "corners": None if snapshot is None
+                 else snapshot["corners"],
+                 "scale": scale, "off": off, "frame": self.n_frames}
+        prev, self._pending = self._pending, entry
+        if prev is None:
+            out["state"] = "pipeline_fill"
+            out["time_total_ms"] = round(
+                (time.perf_counter() - t0) * 1e3, 1)
+            return out
+        out["result_frame"] = prev["frame"]
+        return self._finalize(prev, out, t0)
+
+    def _finalize(self, entry, out, t0) -> dict:
+        h = [np.asarray(x)[0] for x in entry["handles"]]
+        if entry["use_fast"]:
+            digits, conf, probs = h
+            digits, found, corners_canvas = self._absorb_fast(
+                digits, out, entry["corners"])
+        else:
+            digits, conf, probs, corners, found, b_y, b_x = h
+            digits, found, corners_canvas = self._absorb_full(
+                digits, corners, found, b_y, b_x, out)
+        return self._post(out, digits, conf, probs, corners_canvas,
+                          found, entry["scale"], entry["off"], t0)
+
+    def _drain_pending(self):
+        """Fetch-and-drop the in-flight frame (keeps the device queue
+        clean across a motion reset)."""
+        entry, self._pending = self._pending, None
+        for x in entry["handles"]:
+            np.asarray(x)
 
 
 class SessionRegistry:
@@ -722,8 +852,9 @@ def make_handler(engine: InferenceEngine):
                 sid = (q.get("session") or [None])[0]
                 if sid:
                     stable = int((q.get("stable") or [3])[0])
+                    pipelined = (q.get("pipeline") or ["0"])[0] == "1"
                     sess = sessions.get(sid, required_stable=stable)
-                    self._json(sess.process(img))
+                    self._json(sess.process(img, pipelined=pipelined))
                 else:
                     self._json(engine.scan(img))
             else:

@@ -662,7 +662,11 @@ function initApp() {
     const blob = await new Promise(
         r => c.toBlob(r, 'image/jpeg', 0.7));
     try {
-      const res = await fetch('/scan?session=' + sid,
+      // pipeline=1: the server dispatches this frame asynchronously
+      // and answers with the PREVIOUS frame's completed result, so
+      // the device round-trip overlaps our capture of the next frame
+      // (the double-buffered live path; results lag one frame).
+      const res = await fetch('/scan?session=' + sid + '&pipeline=1',
                               {method: 'POST', body: blob});
       const data = await res.json();
       drawCorners(data.grid_found ? data.corners : null, c.width, c.height);
