@@ -480,6 +480,164 @@ def build_torch_mirror(ckpt_name: str, model_name: str,
     return tm
 
 
+def build_torch_bundle(flagship_ckpt: str | None = None):
+    """Verified torch mirror of the EMPTY-GATED export bundle.
+
+    Input contract: RAW (N, 1, 28, 28) float32 cells in 0..255 — the
+    canonical preproc runs INSIDE the graph, so export consumers stop
+    reimplementing it (the burden that made the reference hand-roll
+    CLAHE in Swift, reference CellPreprocessor.swift:44). Pipeline:
+
+      gate branch:     x/255 -> [-1,1] -> EmptyClassifier -> P(empty)
+      flagship branch: cv2-exact gaussian adaptive threshold(11, 2)
+                       (integer taps, replicate border, the no-CLAHE
+                       canonical input) -> DigitCNNv3 (temperature
+                       folded)
+      output:          P(empty) > calibrated threshold -> class-0
+                       one-hot-style logits, else flagship logits
+
+    Closes VERDICT r4 #2: the bare flagship miscalls ~10% of
+    unseen-paper empties (held-out photos 0.8951); the bundle measures
+    1.000 on the same holdout (ml/empty_gate.py::evaluate_bundle) with
+    the flagship itself untouched.
+    """
+    import torch
+    from torch import nn
+
+    from sudoku_vision_tpu.ml import checkpoint as ckpt
+    from sudoku_vision_tpu.ml.empty_gate import load_gate
+    from sudoku_vision_tpu.ops.filters import gaussian_kernel_fixed
+
+    gate = load_gate()
+    if gate is None:
+        raise FileNotFoundError("empty_gate checkpoint not trained")
+    gate_model, gate_vars, thr = gate
+
+    class TorchEmptyGate(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(1, 8, 3, padding=1)
+            self.c2 = nn.Conv2d(8, 16, 3, padding=1)
+            self.fc = nn.Linear(16, 2)
+
+        def forward(self, x):
+            x = torch.relu(self.c1(x))
+            x = torch.nn.functional.max_pool2d(x, 2)
+            x = torch.relu(self.c2(x))
+            x = torch.nn.functional.max_pool2d(x, 2)
+            x = x.mean(dim=(2, 3))
+            return self.fc(x)
+
+    tg = TorchEmptyGate()
+    gp = gate_vars["params"]
+    with torch.no_grad():
+        tg.c1.weight.copy_(torch.from_numpy(
+            np.asarray(gp["Conv_0"]["kernel"])).permute(3, 2, 0, 1))
+        tg.c1.bias.copy_(torch.from_numpy(np.asarray(
+            gp["Conv_0"]["bias"])))
+        tg.c2.weight.copy_(torch.from_numpy(
+            np.asarray(gp["Conv_1"]["kernel"])).permute(3, 2, 0, 1))
+        tg.c2.bias.copy_(torch.from_numpy(np.asarray(
+            gp["Conv_1"]["bias"])))
+        tg.fc.weight.copy_(torch.from_numpy(
+            np.asarray(gp["Dense_0"]["kernel"])).T)
+        tg.fc.bias.copy_(torch.from_numpy(np.asarray(
+            gp["Dense_0"]["bias"])))
+
+    class TorchBundle(nn.Module):
+        """Raw cells -> empty-gated 10-class logits (docstring above)."""
+
+        def __init__(self, gate_mod, flagship_mod, taps, threshold):
+            super().__init__()
+            self.gate = gate_mod
+            self.flagship = flagship_mod
+            t = torch.tensor(taps, dtype=torch.float32)
+            self.register_buffer("taps_row", t.view(1, 1, 1, -1))
+            self.register_buffer("taps_col", t.view(1, 1, -1, 1))
+            self.register_buffer("thr", torch.tensor(float(threshold)))
+            # class-0 "empty" logits: argmax 0, softmax ~1 on class 0
+            forced = torch.full((10,), -12.0)
+            forced[0] = 12.0
+            self.register_buffer("forced", forced)
+
+        def forward(self, raw):
+            # gate branch on raw intensities (ml/empty_gate.py's
+            # deliberate choice: thresholding destroys the
+            # ink-vs-grain evidence)
+            xg = raw / 255.0 * 2.0 - 1.0
+            p_empty = torch.softmax(self.gate(xg), dim=1)[:, :1]
+            # cv2-exact gaussian adaptive threshold: integer taps sum
+            # 256 per axis -> acc <= 255*2^16 < 2^24, exact in f32;
+            # mean = floor((acc + 2^15) / 2^16)  (ops/threshold.py:44)
+            pad = (self.taps_row.numel() - 1) // 2
+            xp = torch.nn.functional.pad(
+                raw, (pad, pad, pad, pad), mode="replicate")
+            acc = torch.nn.functional.conv2d(xp, self.taps_col)
+            acc = torch.nn.functional.conv2d(acc, self.taps_row)
+            mean = torch.floor((acc + 32768.0) / 65536.0)
+            # BINARY -> invert -> [-1,1] collapses to a single select
+            xt = torch.where(raw > mean - 2.0,
+                             torch.tensor(-1.0), torch.tensor(1.0))
+            logits = self.flagship(xt)
+            empty = (p_empty > self.thr).to(logits.dtype)
+            return empty * self.forced + (1.0 - empty) * logits
+
+    chain = [flagship_ckpt] if flagship_ckpt else None
+    if chain is None:
+        from sudoku_vision_tpu.pipeline.run_v2 import _CKPT_CHAIN
+
+        chain = _CKPT_CHAIN["v3"]
+    name, variables = ckpt.load_first(chain)
+    meta = ckpt.load_metadata(name) or {}
+    assert not meta.get("use_clahe", True), \
+        "bundle embeds the no-CLAHE preproc; flagship must match"
+    tm = _copy_v3_weights(_build_torch_v3(), variables,
+                          meta.get("temperature"))
+    taps = gaussian_kernel_fixed(11, 0.0)
+    bundle = TorchBundle(tg, tm, taps, thr)
+    bundle.eval()
+
+    # verify against the jax bundle on random cells + real holdout
+    from sudoku_vision_tpu.ml.empty_gate import (
+        _load_split_10, bundle_predict,
+    )
+
+    rng = np.random.default_rng(0)
+    cells = rng.integers(0, 256, (16, 28, 28), np.uint8)
+    try:
+        real = _load_split_10(os.path.join("data", "real", "test"))[0]
+        cells = np.concatenate([cells, real])
+    except (FileNotFoundError, IndexError):
+        pass
+    want = bundle_predict(cells)
+    with torch.no_grad():
+        got = bundle(torch.from_numpy(
+            cells[:, None].astype(np.float32))).argmax(1).numpy()
+    assert (want == got).all(), \
+        f"bundle mirror mismatch on {int((want != got).sum())} cells"
+    return bundle
+
+
+def export_bundle(out_path: str, fmt: str = "onnx") -> str:
+    """Bundle -> ONNX (opset 13, dynamic batch) or TorchScript."""
+    import torch
+
+    bundle = build_torch_bundle()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    example = torch.zeros(1, 1, 28, 28)
+    if fmt == "torchscript":
+        torch.jit.trace(bundle, example).save(out_path)
+        return out_path
+    with _onnxscript_postprocess_bypass():
+        torch.onnx.export(
+            bundle, example, out_path, opset_version=13,
+            input_names=["raw_cell"], output_names=["logits"],
+            dynamic_axes={"raw_cell": {0: "batch"},
+                          "logits": {0: "batch"}},
+            dynamo=False)
+    return out_path
+
+
 def convert_to_coreml(ckpt_name: str, model_name: str, out_path: str,
                       fold_temperature: bool = True) -> str:
     """Checkpoint -> CoreML .mlpackage (reference ml/convert_coreml.py:18
@@ -528,9 +686,15 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="v1")
     p.add_argument("--out", required=True)
     p.add_argument("--opset", type=int, default=13)
-    p.add_argument("--format", choices=("onnx", "coreml", "torchscript"),
+    p.add_argument("--format",
+                   choices=("onnx", "coreml", "torchscript",
+                            "bundle-onnx", "bundle-torchscript"),
                    default="onnx")
     args = p.parse_args(argv)
+    if args.format.startswith("bundle-"):
+        path = export_bundle(args.out, fmt=args.format.split("-", 1)[1])
+        print(f"exported to {path}")
+        return 0
     if args.format == "coreml":
         path = convert_to_coreml(args.ckpt, args.model, args.out)
     elif args.format == "torchscript":

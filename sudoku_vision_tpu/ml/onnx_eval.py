@@ -315,11 +315,18 @@ def _slice(node: _Node, ins):
 def _pad(node: _Node, ins):
     data, pads = ins[0], ins[1].tolist()
     cval = float(ins[2]) if len(ins) > 2 and ins[2] is not None else 0.0
-    if node.attrs.get("mode", "constant") != "constant":
-        raise NotImplementedError("non-constant pad")
+    mode = node.attrs.get("mode", "constant")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
     r = data.ndim
     width = [(pads[i], pads[i + r]) for i in range(r)]
-    return [np.pad(data, width, constant_values=cval)]
+    if mode == "constant":
+        return [np.pad(data, width, constant_values=cval)]
+    if mode == "edge":        # torch 'replicate' (the bundle preproc)
+        return [np.pad(data, width, mode="edge")]
+    if mode == "reflect":
+        return [np.pad(data, width, mode="reflect")]
+    raise NotImplementedError(f"pad mode {mode!r}")
 
 
 def _reshape(node: _Node, ins):
@@ -377,6 +384,14 @@ _OPS = {
     "Shape": lambda n, i: [np.array(i[0].shape, np.int64)],
     "Gather": lambda n, i: [np.take(i[0], i[1].astype(np.int64),
                                     axis=n.attrs.get("axis", 0))],
+    # round-5 additions for the empty-gated bundle graph
+    # (ml/export.py::build_torch_bundle: raw-cell input, embedded
+    # preproc, Greater/Where select between gate and flagship)
+    "Greater": lambda n, i: [i[0] > i[1]],
+    "Less": lambda n, i: [i[0] < i[1]],
+    "Where": lambda n, i: [np.where(i[0], i[1], i[2])],
+    "Floor": lambda n, i: [np.floor(i[0])],
+    "Not": lambda n, i: [~i[0]],
 }
 
 
