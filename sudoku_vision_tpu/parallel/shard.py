@@ -27,6 +27,7 @@ from sudoku_vision_tpu.pipeline.graph import perceive
 
 
 def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
+                        aux17=None,
                         temperature=None, use_clahe: bool = True,
                         orient: str = "fixed", packed_bgr: bool = False,
                         tensor_parallel: bool = False):
@@ -70,7 +71,7 @@ def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
         out = jax.vmap(
             lambda im: perceive(im, model, variables, temperature=t,
                                 use_clahe=use_clahe, orient=orient,
-                                packed_bgr=packed_bgr)
+                                packed_bgr=packed_bgr, aux17=aux17)
         )(imgs)
         return (out.digits, out.confidence, out.probs, out.corners,
                 out.grid_found, out.boundaries_y, out.boundaries_x)
@@ -80,7 +81,7 @@ def sharded_perceive_fn(model, variables, mesh: Mesh | None = None,
 
 def sharded_perceive_at_fn(model, variables, mesh: Mesh | None = None,
                            temperature=None, use_clahe: bool = True,
-                           packed_bgr: bool = False):
+                           packed_bgr: bool = False, aux17=None):
     """Data-sharded temporal-reuse graph (pipeline/graph.py::perceive_at):
     frames AND their locked corners/boundaries shard along the data
     axis; params replicate. The streaming sessions' detection-skip path
@@ -102,7 +103,7 @@ def sharded_perceive_at_fn(model, variables, mesh: Mesh | None = None,
         out = jax.vmap(
             lambda im, c, by, bx: perceive_at(
                 im, c, by, bx, model, variables, temperature=t,
-                use_clahe=use_clahe, packed_bgr=packed_bgr)
+                use_clahe=use_clahe, packed_bgr=packed_bgr, aux17=aux17)
         )(imgs, corners, bys, bxs)
         return out.digits, out.confidence, out.probs
 

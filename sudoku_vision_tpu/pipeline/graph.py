@@ -56,6 +56,7 @@ def perceive(
     orient: str = "fixed",
     packed_bgr: bool = False,
     detect_strategy: int = 0,
+    aux17=None,
 ) -> PerceptionOutput:
     """Full perception for one uint8 frame (H, W, 3) BGR or (H, W) gray.
 
@@ -230,9 +231,13 @@ def perceive(
         corners = jnp.take(
             jnp.stack([jnp.roll(det.corners, -k, axis=0)
                        for k in range(4)]), orientation, axis=0)
+        x_sel = jnp.take(xs.reshape((4, 81) + xs.shape[1:]),
+                         orientation, axis=0)
+        probs = blend_17(probs, x_sel, aux17)
     else:
         logits = apply_model(x)
         probs = jax.nn.softmax(logits, axis=-1)
+        probs = blend_17(probs, x, aux17)
     raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     digits = jnp.where(empty, 0, raw_digits)
     conf = jnp.where(empty, 1.0, probs.max(axis=-1))
@@ -243,6 +248,43 @@ def perceive(
         cells=cells, orientation=orientation,
         boundaries_y=nominal if b_y is None else b_y,
         boundaries_x=nominal if b_x is None else b_x)
+
+
+def blend_17(probs: jnp.ndarray, x: jnp.ndarray, aux17,
+             conf_gate: float = 0.7) -> jnp.ndarray:
+    """Low-confidence {1,7} reads get their joint probability mass
+    re-split by the 1-vs-7 specialist (ml/disambig17.py).
+
+    Gated hard: only cells whose TOP class is 1 or 7 below `conf_gate`
+    are touched, and only the mass already on classes 1+7 moves —
+    every other read (and every other class probability) is
+    bit-identical, so the flagship's calibrated behavior cannot
+    regress outside the marginal set this targets (the standing
+    handwritten 1->7 wrong-solve tail; see the module docstring's
+    negative-result history of flagship fine-tunes).
+
+    MEASURED NEGATIVE — do not widen the gate to confident-specialist
+    disagreements: a variant that also fired when the specialist's
+    posterior was >= 0.9 (to catch the flagship's systematic
+    handwritten 1->7 at conf 0.97, golden scene_033 cell 6, which it
+    DID fix) flipped true screen-rendered 7s to 1s — a domain the
+    print+stroke-trained specialist never saw — costing sweep 7000
+    130->127/130 (three screen scenes) and golden e2e 52->51 solved
+    with 4 new 7->1 confusions. The low-confidence-only gate keeps
+    every sweep perfect (7000 130/130, 90210 129/130 with s099 fixed,
+    81521 32/32, e2e 52/52); the one confident flagship error left is
+    recovered downstream by solver escalation."""
+    if aux17 is None:
+        return probs
+    model17, vars17 = aux17
+    q = jax.nn.softmax(model17.apply(vars17, x), axis=-1)[..., 0]
+    top = jnp.argmax(probs, axis=-1)
+    blend = (((top == 1) | (top == 7))
+             & (probs.max(axis=-1) < conf_gate))
+    mass = probs[..., 1] + probs[..., 7]
+    p1 = jnp.where(blend, mass * q, probs[..., 1])
+    p7 = jnp.where(blend, mass * (1.0 - q), probs[..., 7])
+    return probs.at[..., 1].set(p1).at[..., 7].set(p7)
 
 
 def _accepts_temperature(model) -> bool:
@@ -273,6 +315,7 @@ def perceive_at(
     cell_width: int = 950,
     sample_mode: str = "scanline",
     packed_bgr: bool = False,
+    aux17=None,
 ) -> PerceptionOutput:
     """Perception with detection SKIPPED: warp -> extract -> CNN from
     corners + refined boundaries produced by a previous full
@@ -333,6 +376,7 @@ def perceive_at(
               if _accepts_temperature(model)
               else model.apply(variables, x))
     probs = jax.nn.softmax(logits, axis=-1)
+    probs = blend_17(probs, x, aux17)
     raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     digits = jnp.where(empty, 0, raw_digits)
     conf = jnp.where(empty, 1.0, probs.max(axis=-1))

@@ -148,6 +148,9 @@ def _jitted_graph(h: int, w: int, channels: int, model_name: str,
                   cell_width: int = 950, detect_strategy: int = 0):
     model, variables, temperature, ckpt_name, use_clahe = load_model(
         model_name)
+    from sudoku_vision_tpu.ml.disambig17 import load_aux17
+
+    aux17 = load_aux17() if not use_clahe else None
 
     @jax.jit
     def fn(img):
@@ -155,7 +158,7 @@ def _jitted_graph(h: int, w: int, channels: int, model_name: str,
                        temperature=jnp.float32(temperature),
                        use_clahe=use_clahe, orient=orient,
                        detect_width=detect_width, cell_width=cell_width,
-                       detect_strategy=detect_strategy)
+                       detect_strategy=detect_strategy, aux17=aux17)
         from sudoku_vision_tpu import ops
         gray = ops.bgr_to_gray(img) if img.ndim == 3 else img
         m = ops.homography_from_corners(out.corners, (450, 450))
@@ -325,6 +328,14 @@ def run_pipeline(
                         solved = r2.grid
                 if not rest.success:
                     status = "ambiguous"
+        else:
+            # Valid grid that still won't solve (escalation failed):
+            # report the solver's own verdict honestly ("unsolvable" /
+            # "invalid"). Pre-round-5 this path leaked status=None
+            # (surfaced by a widened 1v7 gate flipping two screen 7s,
+            # sweep 90210 s010 — the gate was reverted, the leak is
+            # fixed regardless).
+            status = sres.status_name
     t6 = time.perf_counter()
 
     base["solved_grid"] = solved

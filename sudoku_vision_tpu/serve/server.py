@@ -179,6 +179,11 @@ class InferenceEngine:
 
         (self.model, self.variables, self.temperature, self.ckpt,
          self.use_clahe) = load_model(model_name)
+        from sudoku_vision_tpu.ml.disambig17 import load_aux17
+
+        # 1v7 specialist (ml/disambig17.py): blended in-graph for
+        # low-confidence {1,7} reads; trained on the no-CLAHE preproc.
+        self.aux17 = load_aux17() if not self.use_clahe else None
         self.canonical = canonical
         # "auto" classifies all 4 quarter-turn readings (sideways /
         # upside-down phones) for ~3 extra CNN passes per frame.
@@ -229,16 +234,19 @@ class InferenceEngine:
                 fn, _ = sharded_perceive_fn(
                     model, variables, self.mesh,
                     temperature=self.temperature, use_clahe=uc,
-                    orient=self.orient, packed_bgr=True)
+                    orient=self.orient, packed_bgr=True,
+                    aux17=self.aux17)
             else:
                 orient = self.orient
+
+                aux17 = self.aux17
 
                 @jax.jit
                 def fn(imgs):
                     out = jax.vmap(lambda im: perceive(
                         im, model, variables, temperature=t,
                         use_clahe=uc, orient=orient,
-                        packed_bgr=True))(imgs)
+                        packed_bgr=True, aux17=aux17))(imgs)
                     return (out.digits, out.confidence, out.probs,
                             out.corners, out.grid_found,
                             out.boundaries_y, out.boundaries_x)
@@ -271,14 +279,16 @@ class InferenceEngine:
                 fn, _ = sharded_perceive_at_fn(
                     model, variables, self.mesh,
                     temperature=self.temperature, use_clahe=uc,
-                    packed_bgr=True)
+                    packed_bgr=True, aux17=self.aux17)
             else:
+                aux17 = self.aux17
+
                 @jax.jit
                 def fn(imgs, corners, bys, bxs):
                     out = jax.vmap(lambda im, c, by, bx: perceive_at(
                         im, c, by, bx, model, variables, temperature=t,
-                        use_clahe=uc, packed_bgr=True))(imgs, corners,
-                                                        bys, bxs)
+                        use_clahe=uc, packed_bgr=True,
+                        aux17=aux17))(imgs, corners, bys, bxs)
                     return out.digits, out.confidence, out.probs
 
             self._fns[key] = fn
