@@ -6,7 +6,7 @@ PY := python
 
 .PHONY: help solver solver-test test test-fast e2e bench data train-v3 \
         train-v1 train-combined evaluate cv-test extract-cells serve \
-        export-onnx clean sweep harvest-scenes train-real
+        export-onnx clean sweep harvest-scenes train-real verify-claims
 
 help:
 	@echo "targets: solver solver-test test e2e bench data train-v3 train-v1"
@@ -115,3 +115,18 @@ export-onnx:
 clean:
 	$(MAKE) -C native/solver clean
 	rm -rf debug_output eval_out .pytest_cache
+
+# Cold-reader audit (RESULTS.md contract): regenerate every fast claim
+# end-to-end — native solver suite + perf limits, CoreML emission
+# walked and byte-verified, the shipped ONNX/bundle artifacts EXECUTED
+# vs flax, real-photo holdout floors, uniqueness gates, the shipped
+# scanner sources executed. TPU-hours claims (sweeps, e2e, bench) list
+# their exact commands in RESULTS.md.
+verify-claims: solver-test
+	$(PY) -m sudoku_vision_tpu.ml.coreml_emit \
+	    --ckpt digit_cnn_v3_real --out /tmp/_vc.mlpackage
+	$(PY) -m pytest -q tests/test_coreml_emit.py tests/test_onnx_eval.py \
+	    tests/test_empty_gate.py tests/test_real_data.py \
+	    tests/test_uniqueness_gate.py tests/test_wasm_artifact.py \
+	    tests/test_scanner_js.py
+	@echo "verify-claims: all fast claims regenerated"
