@@ -262,6 +262,21 @@ class _MILBuilder:
     def relu(self, x: str, shape) -> str:
         return self.op("relu", {"x": x}, "relu", shape)
 
+    def max_pool(self, x: str, k: int, in_shape) -> tuple[str, tuple]:
+        """k x k max pool, stride k (param names verified against the
+        reference artifact's max_pool ops)."""
+        n, c, h, wd = in_shape
+        out = (n, c, h // k, wd // k)
+        inputs = {
+            "x": x,
+            "kernel_sizes": self.const_ints("kernel_sizes", [k, k]),
+            "strides": self.const_ints("strides", [k, k]),
+            "pad_type": self.const_str("pad_type", "valid"),
+            "pad": self.const_ints("pad", [0, 0, 0, 0]),
+            "ceil_mode": self.const_bool("ceil_mode", False),
+        }
+        return self.op("max_pool", inputs, "pool", out), out
+
     def linear(self, x: str, w: np.ndarray, b: np.ndarray, n: int) -> str:
         return self.op("linear", {
             "x": x,
@@ -360,13 +375,40 @@ def build_v3_program(variables, temperature=None) -> tuple[bytes, bytes]:
                        [("logits", DT_FP32, (1, 10))])
     mb.ops.append(final)
 
+    return _wrap_program(mb), mb.blob.tobytes()
+
+
+def build_empty_program(variables) -> tuple[bytes, bytes]:
+    """flax EmptyClassifier checkpoint -> (mil Program, weight.bin).
+
+    Mirrors models/cnn.py:182 (reference ml/model_v3.py:285): two
+    conv-relu-maxpool blocks (convs carry their own bias — no BN to
+    fold), GAP, Dense 2. Output 'logits' is [is_empty, is_digit]."""
+    params = variables["params"]
+    mb = _MILBuilder()
+    x = mb.cast("input", "fp16", (1, 1, 28, 28), DT_FP16)
+    shape = (1, 1, 28, 28)
+    for i in (0, 1):
+        p = params[f"Conv_{i}"]
+        x, shape = mb.conv(x, _oihw(p["kernel"]),
+                           np.asarray(p["bias"], np.float32), 1, 1, shape)
+        x = mb.relu(x, shape)
+        x, shape = mb.max_pool(x, 2, shape)
+    x, _ = mb.gap(x, shape)
+    x = mb.linear(x, np.asarray(params["Dense_0"]["kernel"]).T,
+                  np.asarray(params["Dense_0"]["bias"]), 1)
+    out = mb.cast(x, "fp32", (1, 2), DT_FP32)
+    mb.ops.append(_operation("identity", {"x": out},
+                             [("logits", DT_FP32, (1, 2))]))
+    return _wrap_program(mb), mb.blob.tobytes()
+
+
+def _wrap_program(mb: _MILBuilder) -> bytes:
     block = _sf(2, "logits") + b"".join(mb.ops)
     function = (_lf(1, _nvt("input", DT_FP32, (1, 1, 28, 28)))
                 + _sf(2, "CoreML7")
                 + _lf(3, _sf(1, "CoreML7") + _lf(2, block)))
-    program = (_vf(1, 1)
-               + _lf(2, _sf(1, "main") + _lf(2, function)))
-    return program, mb.blob.tobytes()
+    return _vf(1, 1) + _lf(2, _sf(1, "main") + _lf(2, function))
 
 
 # --------------------------------------------------------------------------
@@ -379,9 +421,9 @@ def _feature(field: int, name: str, desc: str, shape) -> bytes:
     return _lf(field, _sf(1, name) + _sf(2, desc) + ftype)
 
 
-def _description() -> bytes:
-    meta = (_sf(1, "Sudoku digit classifier (28x28 grayscale -> 10 "
-                   "logits)")
+def _description(short: str, in_desc: str, out_desc: str,
+                 out_shape) -> bytes:
+    meta = (_sf(1, short)
             + _sf(2, "1.0.0")
             + _sf(3, "sudoku-vision-tpu")
             + _sf(4, "MIT")
@@ -389,21 +431,40 @@ def _description() -> bytes:
                   + _sf(2, "sudoku_vision_tpu.ml.coreml_emit "
                            "(direct MIL emission, no coremltools)"))
             + _lf(100, _sf(1, "source_dialect") + _sf(2, "flax")))
-    return (_feature(1, "input",
-                     "28x28 preprocessed cell as [1, 1, 28, 28] float32, "
-                     "the pipeline's canonical normalization (see "
-                     "cv/extract.py preprocess_cells_for_model)",
-                     (1, 1, 28, 28))
-            + _feature(10, "logits",
-                       "10 class logits (0 = empty, 1-9 = digits); "
-                       "temperature already folded",
-                       (1, 10))
+    return (_feature(1, "input", in_desc, (1, 1, 28, 28))
+            + _feature(10, "logits", out_desc, out_shape)
             + _lf(100, meta))
 
 
+_MODELS = {
+    "v3": {
+        "build": lambda v, t: build_v3_program(v, t),
+        "short": "Sudoku digit classifier (28x28 grayscale -> 10 logits)",
+        "in": ("28x28 preprocessed cell as [1, 1, 28, 28] float32, "
+               "the pipeline's canonical normalization (see "
+               "cv/extract.py preprocess_cells_for_model)"),
+        "out": ("10 class logits (0 = empty, 1-9 = digits); "
+                "temperature already folded"),
+        "out_shape": (1, 10),
+    },
+    "empty_gate": {
+        "build": lambda v, t: build_empty_program(v),
+        "short": ("Sudoku empty-cell gate (28x28 raw grayscale -> "
+                  "[is_empty, is_digit] logits)"),
+        "in": ("RAW 28x28 cell as [1, 1, 28, 28] float32, normalized "
+               "(x/255 - 0.5)/0.5 — NOT the thresholded input (see "
+               "ml/empty_gate.py)"),
+        "out": ("binary logits [is_empty, is_digit]; apply the "
+                "calibrated threshold from models_ckpt/empty_gate.json"),
+        "out_shape": (1, 2),
+    },
+}
+
+
 def emit_mlpackage(ckpt_name: str, out_dir: str,
-                   fold_temperature: bool = True) -> str:
-    """flax v3 checkpoint -> .mlpackage directory. Returns out_dir."""
+                   fold_temperature: bool = True,
+                   model_kind: str = "v3") -> str:
+    """flax checkpoint -> .mlpackage directory. Returns out_dir."""
     from sudoku_vision_tpu.ml import checkpoint as ckpt
 
     variables = ckpt.load_variables_or_none(ckpt_name)
@@ -413,10 +474,12 @@ def emit_mlpackage(ckpt_name: str, out_dir: str,
     if fold_temperature:
         temperature = (ckpt.load_metadata(ckpt_name) or {}).get(
             "temperature")
-    program, blob = build_v3_program(variables, temperature)
+    spec = _MODELS[model_kind]
+    program, blob = spec["build"](variables, temperature)
 
     model = (_vf(1, 8)                      # specificationVersion iOS17
-             + _lf(2, _description())
+             + _lf(2, _description(spec["short"], spec["in"],
+                                   spec["out"], spec["out_shape"]))
              + _lf(502, program))
 
     data_dir = os.path.join(out_dir, "Data", "com.apple.CoreML")
@@ -615,7 +678,8 @@ def walk_mlpackage(path: str) -> dict:
 
 
 def verify_weights(path: str, ckpt_name: str,
-                   fold_temperature: bool = True) -> int:
+                   fold_temperature: bool = True,
+                   model_kind: str = "v3") -> int:
     """Byte-compare every stored blob against the fp16 fold of the
     checkpoint, in emission order. Returns the number of verified
     blobs; raises on any mismatch."""
@@ -626,6 +690,15 @@ def verify_weights(path: str, ckpt_name: str,
     if fold_temperature:
         temperature = (ckpt.load_metadata(ckpt_name) or {}).get(
             "temperature")
+    if model_kind == "empty_gate":
+        p = variables["params"]
+        expect = []
+        for i in (0, 1):
+            expect.append(_oihw(p[f"Conv_{i}"]["kernel"]))
+            expect.append(np.asarray(p[f"Conv_{i}"]["bias"], np.float32))
+        expect.append(np.asarray(p["Dense_0"]["kernel"]).T)
+        expect.append(np.asarray(p["Dense_0"]["bias"]))
+        return _compare_blobs(path, expect)
     params, stats = variables["params"], variables["batch_stats"]
     from sudoku_vision_tpu.models.cnn import DigitCNNv3
 
@@ -658,7 +731,10 @@ def verify_weights(path: str, ckpt_name: str,
     dense_wb(params["Dense_0"])
     t = float(temperature) if temperature else 1.0
     dense_wb(params["Dense_1"], t)
+    return _compare_blobs(path, expect)
 
+
+def _compare_blobs(path: str, expect: list) -> int:
     info = walk_mlpackage(path)
     if len(info["blob_meta"]) != len(expect):
         raise ValueError(f"blob count {len(info['blob_meta'])} != "
@@ -683,12 +759,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="emit + verify a CoreML mlpackage without coremltools")
     p.add_argument("--ckpt", default="digit_cnn_v3_real")
+    p.add_argument("--model", default="v3", choices=sorted(_MODELS))
     p.add_argument("--out", default="models_export/DigitClassifier"
                                     ".mlpackage")
     args = p.parse_args(argv)
-    emit_mlpackage(args.ckpt, args.out)
+    emit_mlpackage(args.ckpt, args.out, model_kind=args.model)
     info = walk_mlpackage(args.out)
-    n = verify_weights(args.out, args.ckpt)
+    n = verify_weights(args.out, args.ckpt, model_kind=args.model)
     print(json.dumps({k: v for k, v in info.items() if k != "blob_meta"},
                      indent=2))
     print(f"verified {n} weight blobs byte-for-byte vs {args.ckpt}")

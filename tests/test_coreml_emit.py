@@ -75,6 +75,21 @@ def test_walker_rejects_corrupt_blob(pkg, tmp_path):
         verify_weights(bad, CKPT)
 
 
+def test_empty_gate_package(tmp_path):
+    """Second shipped package (the reference ships two .mlpackages):
+    the round-5 empty gate as its own CoreML model, conv biases and
+    max_pool ops included."""
+    out = str(tmp_path / "EmptyClassifier.mlpackage")
+    emit_mlpackage("empty_gate", out, model_kind="empty_gate")
+    info = walk_mlpackage(out)
+    assert info["output"] == "logits"
+    assert info["op_counts"]["conv"] == 2
+    assert info["op_counts"]["max_pool"] == 2
+    assert info["n_blobs"] == 6
+    assert verify_weights(out, "empty_gate",
+                          model_kind="empty_gate") == 6
+
+
 def test_walker_rejects_corrupt_structure(pkg, tmp_path):
     bad = str(tmp_path / "bad2.mlpackage")
     shutil.copytree(pkg, bad)
