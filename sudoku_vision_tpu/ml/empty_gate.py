@@ -97,13 +97,21 @@ def calibrate_threshold(p_empty: np.ndarray, labels: np.ndarray,
                         digit_recall_floor: float = 1.0) -> float:
     """Largest P(empty) cut that keeps digit recall >= floor on the
     calibration set (digits wrongly gated to 'empty' erase givens —
-    the dangerous direction)."""
+    the dangerous direction).
+
+    The gate fires on p_empty > thr STRICTLY, so thr must equal the
+    (k+1)-th largest digit P(empty) — a thr just BELOW it would gate
+    that digit too (code-review finding, round 5: the original
+    cut*0.999 erased the worst calibration digit, and a 0.95 cap
+    could break the floor whenever the worst digit sat above it; the
+    first shipped checkpoint recorded digit_recall_cal 0.99906).
+    Degenerate case: a digit at p_empty 1.0 with floor 1.0 yields
+    thr 1.0 — the gate simply never fires, honoring the floor."""
     digit_p = np.sort(p_empty[labels == 1])
     n = len(digit_p)
     k = int(np.floor((1.0 - digit_recall_floor) * n))
-    # threshold just below the (k+1)-th largest digit P(empty)
-    cut = digit_p[n - 1 - k] if k < n else 1.0
-    return float(min(0.95, max(0.5, cut * 0.999)))
+    cut = digit_p[n - 1 - k] if k < n else 0.5
+    return float(max(0.5, cut))
 
 
 def train(n_per_class: int = 10000, epochs: int = 12, lr: float = 2e-3,
@@ -202,8 +210,18 @@ def bundle_predict(cells_u8: np.ndarray) -> np.ndarray:
     from sudoku_vision_tpu.ml.disambig17 import preprocess as thresh_pp
     from sudoku_vision_tpu.pipeline.run_v2 import load_model
 
-    model, variables, temperature, name, _ = load_model("v3")
-    gate_model, gate_vars, thr = load_gate()
+    model, variables, temperature, name, use_clahe = load_model("v3")
+    # Same hazard the torch mirror asserts (ml/export.py
+    # build_torch_bundle): the embedded preproc is the no-CLAHE
+    # canonical input — a CLAHE-trained flagship would silently get
+    # the wrong tensor and every published bundle number with it.
+    assert not use_clahe, \
+        f"bundle embeds the no-CLAHE preproc; flagship {name} disagrees"
+    gate = load_gate()
+    if gate is None:
+        raise FileNotFoundError(
+            "empty_gate checkpoint not trained (run ml.empty_gate)")
+    gate_model, gate_vars, thr = gate
     logits = model.apply(variables, jnp.asarray(thresh_pp(cells_u8)),
                          temperature=temperature)
     digits = np.asarray(jnp.argmax(logits, -1))

@@ -233,11 +233,30 @@ def perceive(
                        for k in range(4)]), orientation, axis=0)
         x_sel = jnp.take(xs.reshape((4, 81) + xs.shape[1:]),
                          orientation, axis=0)
+        # Boundaries must rotate WITH the upright reading (they pair
+        # with the rolled corners for perceive_at): after k CCW
+        # quarter-turns, upright[r, c] = orig rot90^k, so upright row
+        # boundary i maps from the original column boundary 9-i
+        # mirrored across the warp (and analogously per k).
+        if b_y is not None:
+            ws = jnp.float32(warp_size)
+            byv = jnp.stack([b_y, ws - b_x[::-1], ws - b_y[::-1], b_x])
+            bxv = jnp.stack([b_x, b_y, ws - b_x[::-1], ws - b_y[::-1]])
+            b_y = jnp.take(byv, orientation, axis=0)
+            b_x = jnp.take(bxv, orientation, axis=0)
         probs = blend_17(probs, x_sel, aux17)
+        if aux17 is not None:
+            # keep logits consistent with the blended probs (same
+            # softmax, same argmax) — a consumer recomputing
+            # probabilities from logits must not silently revert the
+            # 1v7 re-split
+            logits = jnp.log(probs)
     else:
         logits = apply_model(x)
         probs = jax.nn.softmax(logits, axis=-1)
         probs = blend_17(probs, x, aux17)
+        if aux17 is not None:
+            logits = jnp.log(probs)   # consistency (see auto branch)
     raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     digits = jnp.where(empty, 0, raw_digits)
     conf = jnp.where(empty, 1.0, probs.max(axis=-1))
@@ -377,6 +396,8 @@ def perceive_at(
               else model.apply(variables, x))
     probs = jax.nn.softmax(logits, axis=-1)
     probs = blend_17(probs, x, aux17)
+    if aux17 is not None:
+        logits = jnp.log(probs)       # consistency (see perceive)
     raw_digits = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     digits = jnp.where(empty, 0, raw_digits)
     conf = jnp.where(empty, 1.0, probs.max(axis=-1))

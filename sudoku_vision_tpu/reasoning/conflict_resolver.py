@@ -326,6 +326,7 @@ def restore_erased_givens(
             if d != 0 and float(p81[idx, d]) >= min_p:
                 cands.append((float(p81[idx, d]), int(idx), d))
         placed = False
+        fallback = None
         for _pconf, idx, d in sorted(cands, reverse=True):
             t = g.copy()
             t[idx // 9, idx % 9] = d
@@ -337,6 +338,21 @@ def restore_erased_givens(
                 g, cur = t, cnt
                 placed = True
                 break
+            if cnt >= cap and fallback is None:
+                fallback = (idx, d, t, cnt)
+        if not placed and fallback is not None and cur >= cap:
+            # Both counts saturate the cap: narrowing is UNPROVABLE,
+            # not absent (code-review finding, round 5) — e.g. two
+            # erased givens with 20 -> 10 solutions both read as
+            # ">= cap". Refusing here would dead-end grids the
+            # pre-narrowing rule repaired over several iterations, so
+            # commit the best valid+solvable candidate; the no-op skip
+            # (digits common to every solution) still applies whenever
+            # counts are exact.
+            idx, d, t, cnt = fallback
+            corrections.append(((idx // 9, idx % 9), 0, d))
+            g, cur = t, cnt
+            placed = True
         if not placed:
             break
     return ResolutionResult(False, g, corrections)

@@ -29,7 +29,12 @@ Endpoints:
                   state across the client's frame stream and fires the
                   solve ONCE per stable segment (the reference's live
                   loop: ios ScanPipeline.swift:245 3-stable-frames gate,
-                  web main.ts:183 rAF loop, cv/stabilizer.py:161)
+                  web main.ts:183 rAF loop, cv/stabilizer.py:161).
+                  Once locked + motionless, frames ride the
+                  detection-free fast graph (temporal reuse,
+                  pipeline/graph.py::perceive_at); add &pipeline=1 to
+                  double-buffer dispatch (results lag one frame, the
+                  device round-trip overlaps the client's next capture)
   POST /solve     body: {"puzzle": "81 chars"} -> solver-only JSON
   GET  /healthz   liveness + device + bucket warmup info
   GET  /          the scanner page (static/scanner.html)

@@ -812,7 +812,7 @@ class JSAppEnv(JSEnv):
             t = node[1]
             if t[0] == "name" and isinstance(scope, _Scope) \
                     and t[1] not in scope \
-                    and t[1] not in ("String", "Number", "Math", "Infinity"):
+                    and t[1] not in ("String", "Number", "Math", "Date", "Infinity"):
                 return "undefined"
             return _js_typeof(self._eval(t, scope))
         if op == "tpl":

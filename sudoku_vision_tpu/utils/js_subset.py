@@ -677,7 +677,11 @@ class JSEnv:
         js_mod = self._js_mod
 
         def run(scope):
-            c, v = cur(scope), val(scope)
+            # value first, then the target's current value — the
+            # dynamic evaluator's order (a value expression could
+            # mutate the target through a closure)
+            v = val(scope)
+            c = cur(scope)
             if aop == "+=":
                 return (_js_string(c) + _js_string(v)
                         if isinstance(c, str) or isinstance(v, str)

@@ -16,7 +16,7 @@ import shutil
 import pytest
 
 from sudoku_vision_tpu.ml.coreml_emit import (
-    emit_mlpackage, verify_weights, walk_mlpackage,
+    emit_mlpackage, verify_numerics, verify_weights, walk_mlpackage,
 )
 
 CKPT = "digit_cnn_v3_real"
@@ -60,6 +60,15 @@ def test_emitted_weights_match_checkpoint_fold(pkg):
     assert verify_weights(pkg, CKPT) == 50
 
 
+def test_emitted_program_executes_to_checkpoint_logits(pkg):
+    """Numeric execution of the emitted MIL program vs flax — the
+    check that caught the stride-2 SAME-padding asymmetry (symmetric
+    [1,1,1,1] shifted every stride-2 feature map; flax pads (0,1)).
+    fp16 weight storage bounds the tolerance."""
+    err = verify_numerics(pkg, CKPT)
+    assert err < 0.25
+
+
 def test_walker_rejects_corrupt_blob(pkg, tmp_path):
     bad = str(tmp_path / "bad.mlpackage")
     shutil.copytree(pkg, bad)
@@ -88,6 +97,8 @@ def test_empty_gate_package(tmp_path):
     assert info["n_blobs"] == 6
     assert verify_weights(out, "empty_gate",
                           model_kind="empty_gate") == 6
+    assert verify_numerics(out, "empty_gate",
+                           model_kind="empty_gate") < 0.25
 
 
 def test_walker_rejects_corrupt_structure(pkg, tmp_path):

@@ -39,7 +39,27 @@ def test_gate_checkpoint_exists():
     gate = load_gate()
     assert gate is not None
     _, _, thr = gate
-    assert 0.5 <= thr <= 0.95
+    assert 0.5 <= thr <= 1.0
+
+
+def test_calibration_honors_digit_recall_floor():
+    """Code-review regression (round 5): the gate fires on p > thr
+    STRICTLY, so thr must EQUAL the worst digit's P(empty) — a thr
+    just below it gated that digit (the erased-given direction), and
+    the old 0.95 cap could break the floor outright."""
+    import numpy as np
+
+    from sudoku_vision_tpu.ml.empty_gate import calibrate_threshold
+
+    p = np.array([0.1, 0.2, 0.8, 0.99, 0.97, 0.3])
+    y = np.array([1,   1,   1,   0,    0,    0])
+    thr = calibrate_threshold(p, y, digit_recall_floor=1.0)
+    assert thr == 0.8                      # worst digit NOT gated
+    assert (p[y == 1] <= thr).all()
+    # shipped checkpoint honors the floor exactly
+    import json
+    meta = json.load(open("models_ckpt/empty_gate.json"))
+    assert meta["digit_recall_cal"] == 1.0
 
 
 def test_bundle_holdout_floor(holdout):
