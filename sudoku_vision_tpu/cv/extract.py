@@ -49,7 +49,7 @@ def refine_boundaries(
     n_across: int = 9,
     comb: bool = True,
     comb_step: float = 4.0,
-    comb_along: int = 8,
+    comb_along: int = 4,
     comb_astep: float = 3.0,
     comb_dstep: float = 1.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

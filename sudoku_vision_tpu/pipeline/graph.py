@@ -351,7 +351,12 @@ def perceive_at(
     instability, or a digits change (serve.server.ScanSession).
 
     Fixed orientation only: a locked scene's orientation was resolved
-    at lock time; orient="auto" engines keep the full graph.
+    at lock time; orient="auto" engines keep the full graph. When fed
+    the ROLLED corners + rotated boundaries an auto perceive returns
+    (orientation != 0), pass sample_mode="bilinear": the default
+    scanline extractor assumes a near-axis-aligned warp and cannot
+    represent a quarter-turned homography
+    (tests/test_orientation.py::test_auto_orient_boundaries_pair...).
     """
     if img.ndim == 3 or packed_bgr:
         if packed_bgr:

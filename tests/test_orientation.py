@@ -91,3 +91,40 @@ def test_fixed_mode_reads_sideways_garbage(scene):
     want = _truth_grid(truth)
     assert res.orientation == 0
     assert (res.recognized_grid != want).any()
+
+
+def test_auto_orient_boundaries_pair_with_rolled_corners(scene):
+    """Code-review regression (round 5): PerceptionOutput.boundaries_y/x
+    must be returned IN THE UPRIGHT FRAME like corners/cells/digits —
+    feeding them with the rolled corners into the detection-free
+    perceive_at must reproduce the auto reading (the pairing the
+    temporal-reuse fast path is built on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sudoku_vision_tpu.pipeline.graph import perceive, perceive_at
+    from sudoku_vision_tpu.pipeline.run_v2 import load_model
+
+    model, variables, temperature, _, use_clahe = load_model("v3")
+    img, truth = scene
+    photo = np.ascontiguousarray(np.rot90(img, 1))
+    t = jnp.float32(temperature)
+    full = jax.jit(lambda im: perceive(
+        im, model, variables, temperature=t, use_clahe=use_clahe,
+        orient="auto"))(jnp.asarray(photo))
+    assert bool(full.grid_found)
+    assert int(full.orientation) == 3
+    # sample_mode='bilinear': the scanline extractor assumes a
+    # near-axis-aligned warp; a quarter-turn-rolled homography needs
+    # the general inverse-map sampler (documented on perceive_at).
+    fast = jax.jit(lambda im, c, by, bx: perceive_at(
+        im, c, by, bx, model, variables, temperature=t,
+        use_clahe=use_clahe, sample_mode="bilinear"))(
+        jnp.asarray(photo), full.corners,
+        full.boundaries_y, full.boundaries_x)
+    np.testing.assert_array_equal(np.asarray(full.digits),
+                                  np.asarray(fast.digits))
+    want = _truth_grid(truth).reshape(-1)
+    got = np.asarray(fast.digits)
+    nz = want != 0
+    assert (got[nz] == want[nz]).mean() == 1.0
